@@ -1,0 +1,49 @@
+"""Crawl job configuration.
+
+Plays the role of the reference's ini config + site list
+(``newscrawler/config.py :: CrawlerConfig`` / ``JsonConfig`` — symbol-level
+cite, reference mount empty, SURVEY.md §0; operators A1/A2). All values are
+plain driver-side parameters; the seeds live in a small DataFrame.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    # scheduling / politeness (SURVEY.md B7/B8)
+    per_host_budget: int = 5          # fetches per host per round
+    batch_size: int = 100_000         # global fetch budget per round
+    max_depth: int = 3                # scrapy DEPTH_LIMIT analog (B6)
+    max_retry: int = 2                # RetryMiddleware analog (B10)
+
+    # heuristics gate (D7) — boolean expression over the page_stats
+    # columns, evaluated by Catalyst after compile_condition().
+    # Default mirrors the reference's documented default condition.
+    heuristics_condition: str = (
+        "og_type AND (linked_headlines OR self_linked_headlines)"
+    )
+    linked_headlines_max_ratio: float = 0.65   # D2 threshold
+    self_linked_headlines_max_ratio: float = 0.56  # D3 threshold
+
+    # robots (A4/B9)
+    respect_robots: bool = True
+    user_agent: str = "newscrawler"
+
+    # scale path (J / §5.3)
+    hot_host_threshold: int = 50_000  # rows/host above which we salt
+    salt_buckets: int = 8
+    seen_buckets: int = 32            # bucket(url_hash) shard count
+    bloom_bits_per_key: int = 10      # ~1% fpp
+    use_bloom_prefilter: bool = True
+
+    # seeds defaults (A1)
+    default_crawler: str = "recursive_sitemap"
+
+    def with_overrides(self, **kw) -> "CrawlConfig":
+        return replace(self, **kw)
+
+
+DEFAULT_CONFIG = CrawlConfig()
