@@ -31,6 +31,11 @@ class CrawlConfig:
     # robots (A4/B9)
     respect_robots: bool = True
     user_agent: str = "newscrawler"
+    # politeness time quantum one fetch_round models (B8): with a robots
+    # Crawl-delay d, a host's budget is min(per_host_budget,
+    # max(1, floor(round_seconds / d))) — deterministic, shared with the
+    # mini-oracle.
+    round_seconds: float = 10.0
 
     # scale path (J / §5.3)
     hot_host_threshold: int = 50_000  # rows/host above which we salt

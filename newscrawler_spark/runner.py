@@ -1,0 +1,287 @@
+"""The crawl round loop — SURVEY.md §4.2, end to end.
+
+Reference parity: one ``run_crawl`` ≙ ``python -m newscrawler`` (EP1): the
+scrapy scheduler/dupefilter/politeness/robots machinery re-expressed as
+the per-round DataFrame chain, the corpus scan standing in for the
+downloader (A3 — the Iceberg/parquet ``pages`` table IS the network), the
+pipeline chain (heuristics gate → extraction → storage) as the gated
+Arrow map stages, and JOBDIR persistence as snapshot commits (A11/G2).
+
+Determinism: every ordering ends in ``url_hash`` (frontier.order_cols);
+``discovered_round`` replaces wall-clock discovery time; fetch ordering +
+seen membership are asserted equal to the pure-Python mini-oracle in
+tests/test_e2e_ordering.py.
+
+Scale notes (100 TB / 10^10 urls): per-round state flows through the
+checkpoint parquet (no unbounded lineage); the seen-set anti-join runs
+behind the partitioned Bloom prefilter; the politeness window salts hot
+hosts; robots rules and the seeds table broadcast; ``html`` bytes cross
+the Arrow boundary only for pages that were actually scheduled (stats)
+resp. passed the gate (extraction).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from newscrawler_spark.config import DEFAULT_CONFIG, CrawlConfig
+from newscrawler_spark.operators import discover as D
+from newscrawler_spark.operators import frontier as FR
+from newscrawler_spark.operators import heuristics as H
+from newscrawler_spark.operators import robots as R
+from newscrawler_spark.operators import seen as SN
+from newscrawler_spark.operators.extract import ARTICLES_SCHEMA, extract_articles
+from newscrawler_spark.operators.store import (
+    COUNTERS_SCHEMA,
+    FETCH_LOG_SCHEMA,
+    CrawlState,
+)
+
+
+def enrich_pages(pages: DataFrame) -> DataFrame:
+    """A3 prep — canon/hash/host columns + duplicate-variant collapse.
+
+    Multiple corpus spellings of one logical page (query order, www.,
+    fragments) collapse to one row per ``url_hash`` — the redirect/
+    canonical merge analog (B11). Winner: latest ``warc_ts``, then
+    lexicographically smallest raw url (deterministic).
+    """
+    from pyspark.sql import Window
+
+    e = FR.enrich_urls(pages)
+    w = Window.partitionBy("url_hash").orderBy(F.desc("warc_ts"), F.asc("url"))
+    return (
+        e.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _seed_frontier(seeds_e: DataFrame) -> DataFrame:
+    return seeds_e.select(
+        F.col("seed_url").alias("url"),
+        F.col("url_canon"),
+        F.col("url_hash"),
+        F.col("host"),
+        F.lit(D.PRIO_SEED).alias("priority"),
+        F.lit(0).alias("depth"),
+        F.lit(0).alias("discovered_round"),
+        F.col("host").alias("seed_host"),
+        F.lit(0).alias("retry"),
+    )
+
+
+def _sitemap_frontier(sitemaps: DataFrame, seeds: DataFrame) -> DataFrame:
+    """C3 bootstrap — robots-declared sitemap urls for sitemap-strategy
+    seeds enter round 0 as feed-priority requests."""
+    sm_seeds = seeds.where(F.col("crawler").isin("sitemap", "recursive_sitemap"))
+    picked = sitemaps.join(
+        F.broadcast(sm_seeds.select("host").distinct()), "host", "left_semi"
+    )
+    return FR.enrich_urls(picked.select(F.col("sitemap_url").alias("url"), "host"), "url").select(
+        "url", "url_canon", "url_hash",
+        F.col("host"),
+        F.lit(D.PRIO_FEED).alias("priority"),
+        F.lit(0).alias("depth"),
+        F.lit(0).alias("discovered_round"),
+        F.col("host").alias("seed_host"),
+        F.lit(0).alias("retry"),
+    )
+
+
+def build_host_budgets(seeds: DataFrame, delays: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """B8 — per-host fetches/round: seed override ∧ robots crawl-delay."""
+    base = seeds.select("host", F.col("per_host_budget").alias("__b"))
+    j = base.join(delays, "host", "left").withColumn(
+        "__d", F.coalesce(F.col("crawl_delay"), F.lit(0.0))
+    )
+    budget = F.when(
+        F.col("__d") > 0,
+        F.least(
+            F.col("__b"),
+            F.greatest(F.lit(1), F.floor(F.lit(cfg.round_seconds) / F.col("__d")).cast("int")),
+        ),
+    ).otherwise(F.col("__b"))
+    return j.select("host", budget.cast("int").alias("budget"))
+
+
+@dataclass
+class CrawlResult:
+    state: CrawlState
+    rounds_run: int
+    final_round: int
+
+
+def run_crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    seeds: DataFrame,
+    state_dir: str,
+    cfg: CrawlConfig = DEFAULT_CONFIG,
+    max_rounds: int = 50,
+    run_id: str = "run",
+    use_bloom: bool | None = None,
+) -> CrawlResult:
+    """EP1 — full crawl (resumes automatically from the last committed
+    round in ``state_dir``; see tests/test_resume.py)."""
+    use_bloom = cfg.use_bloom_prefilter if use_bloom is None else use_bloom
+    state = CrawlState(spark, state_dir, run_id=run_id)
+
+    pages_dir = f"{state_dir}/pages_enriched"
+    last = state.latest_round()
+    if last is None:
+        # one-time corpus enrichment, persisted so every round scans
+        # column-pruned parquet instead of recomputing canon over html
+        enrich_pages(pages).write.mode("overwrite").parquet(pages_dir)
+    pages_e = spark.read.parquet(pages_dir)
+
+    seeds_e = FR.enrich_urls(seeds, "seed_url")
+    robots_rules = build_robots_rules_cached(spark, pages_e, state_dir)
+    delays = R.host_crawl_delays(robots_rules, cfg.user_agent)
+    budgets = build_host_budgets(seeds, delays, cfg)
+
+    if last is None:
+        boot = FR.dedup_in_batch(
+            _seed_frontier(seeds_e).unionByName(
+                _sitemap_frontier(R.robots_sitemaps(pages_e), seeds)
+            )
+        )
+        if cfg.respect_robots:
+            boot = R.robots_gate(boot, robots_rules, cfg.user_agent)
+        empty_articles = spark.createDataFrame([], ARTICLES_SCHEMA)
+        empty_log = spark.createDataFrame([], FETCH_LOG_SCHEMA)
+        empty_counters = spark.createDataFrame([], COUNTERS_SCHEMA)
+        state.commit_round(0, boot, boot.select("url_hash"), empty_log,
+                           empty_articles, empty_counters)
+        last = 0
+
+    seed_crawlers = seeds.select(
+        F.col("host").alias("seed_host"), "crawler", "max_depth"
+    )
+
+    rounds_run = 0
+    r = last
+    while rounds_run < max_rounds:
+        r += 1
+        t0 = time.monotonic()
+        frontier = state.read_frontier(r - 1)
+        if frontier.isEmpty():
+            r -= 1
+            break
+
+        # ---- B7/B8: schedule this round's candidates
+        cand = FR.schedule_round(frontier, cfg, budgets).drop("budget")
+
+        # ---- A3: "fetch" = corpus join on url_hash (hash join / AQE)
+        page_cols = pages_e.select(
+            "url_hash", F.col("url").alias("page_url"), "warc_ts", "html", "lang"
+        )
+        fetched = (
+            cand.join(page_cols, "url_hash", "left")
+            .join(F.broadcast(seed_crawlers), "seed_host", "left")
+            .withColumn("crawler", F.coalesce("crawler", F.lit(cfg.default_crawler)))
+            .withColumn(
+                "status", F.when(F.col("html").isNotNull(), 200).otherwise(404)
+            )
+        )
+
+        fetch_log = fetched.select(
+            "url", "url_canon", "url_hash", "host",
+            F.lit(r).alias("fetch_round"),
+            "rank_in_host", "priority", "depth", "seed_host", "retry", "status",
+            F.spark_partition_id().alias("partition_id"),
+            F.concat_ws(":", F.lit(run_id), F.lit(r), F.spark_partition_id()).alias(
+                "lineage_id"
+            ),
+        )
+
+        ok = fetched.where(F.col("status") == 200)
+
+        # ---- D: one Arrow stats pass + Catalyst-compiled gate
+        with_stats = H.with_page_stats(
+            ok.select("url", "url_canon", "url_hash", "warc_ts", "html", "lang", "crawler")
+        )
+        gated = H.article_gate(with_stats, cfg)
+
+        # ---- E: extraction (gate-passers only)
+        articles = extract_articles(gated)
+
+        # ---- C1/A5/A6: discovery → B4/B6/B9/B3 filters
+        children = D.discover_children(
+            ok.select("url", "html", "crawler", "depth", "seed_host"), r - 1
+        )
+        children = FR.enrich_urls(children)
+        children = children.where(F.col("host") == F.col("seed_host"))  # B4
+        children = children.join(F.broadcast(seed_crawlers), "seed_host", "left").where(
+            F.col("depth") <= F.coalesce(F.col("max_depth"), F.lit(cfg.max_depth))
+        ).drop("crawler", "max_depth")  # B6
+        children = FR.dedup_in_batch(children.select(*FR.FRONTIER_COLS))
+        if cfg.respect_robots:
+            children = R.robots_gate(children, robots_rules, cfg.user_agent)
+        seen_df = state.read_seen(r - 1)
+        if use_bloom:
+            children = SN.bloom_dedup(children, seen_df, cfg)
+        else:
+            children = FR.dedup_against_seen(children, seen_df)
+
+        # persist the per-round outputs: each feeds BOTH the commit write
+        # and a counter, and fetch_log/children sit above Arrow UDF stages
+        # — without this every count() would re-run extraction/discovery
+        ok = ok.persist()
+        fetch_log = fetch_log.persist()
+        children = children.persist()
+        articles = articles.persist()
+
+        retries = FR.make_retries(fetch_log, cfg)
+
+        new_frontier = (
+            frontier.join(cand.select("url_hash"), "url_hash", "left_anti")
+            .select(*FR.FRONTIER_COLS)
+            .unionByName(children.select(*FR.FRONTIER_COLS))
+            .unionByName(retries.select(*FR.FRONTIER_COLS))
+        )
+
+        # ---- counters (B/J metrics; wall_ms stamped after the commit)
+        n_sched = fetch_log.count()
+        n_ok = fetch_log.where(F.col("status") == 200).count()
+        n_children = children.count()
+        n_articles = articles.count()
+        n_bytes = ok.agg(F.sum(F.length("html"))).collect()[0][0] or 0
+
+        counters = spark.createDataFrame(
+            [
+                (
+                    run_id, r, n_sched + n_children, n_children, n_sched, n_ok,
+                    n_articles, int(n_bytes),
+                    int((time.monotonic() - t0) * 1000),
+                )
+            ],
+            COUNTERS_SCHEMA,
+        )
+
+        state.commit_round(
+            r, new_frontier, children.select("url_hash"), fetch_log, articles, counters
+        )
+        for df in (ok, fetch_log, children, articles):
+            df.unpersist()
+        rounds_run += 1
+        if n_sched == 0:
+            break
+
+    return CrawlResult(state=state, rounds_run=rounds_run, final_round=r)
+
+
+def build_robots_rules_cached(
+    spark: SparkSession, pages_e: DataFrame, state_dir: str
+) -> DataFrame:
+    """Robots rule table, parsed once per state dir then read as parquet."""
+    import os
+
+    path = f"{state_dir}/robots_rules"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        R.build_robots_rules(pages_e).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

@@ -270,6 +270,38 @@ def hub_html(host_idx: int, j: int, n_art: int) -> str:
 </body></html>"""
 
 
+def home_html(host_idx: int, n_art: int, n_hubs: int) -> str:
+    """Homepage at ``http://host/`` — the recursive/RSS crawl entry point.
+
+    Links to every section hub and the newest articles; advertises the RSS
+    feed via ``<link type="application/rss+xml">`` on RSS hosts (drives C3
+    spider auto-selection + the RssCrawler start-page probe).
+    """
+    lang = _lang_for(host_idx)
+    rss_tag = (
+        '<link rel="alternate" type="application/rss+xml" href="/feed.xml"/>'
+        if has_rss(host_idx)
+        else ""
+    )
+    hubs = "\n".join(f'<h2><a href="/section/{j}">Section {j}</a></h2>' for j in range(n_hubs))
+    latest = "\n".join(
+        f'<p class="teaser"><a href="{article_url(host_idx, k)}">'
+        f"{_title(lang, host_idx, k)}</a></p>"
+        for k in range(max(0, n_art - 6), n_art)
+    )
+    return f"""<!DOCTYPE html>
+<html lang="{lang}">
+<head><title>{host_name(host_idx)} - Home</title>
+<meta property="og:type" content="website"/>
+{rss_tag}
+</head>
+<body>
+{_nav_html(host_idx, n_hubs)}
+{hubs}
+{latest}
+</body></html>"""
+
+
 def robots_body(host_idx: int) -> str:
     lines = [
         "User-agent: *",
@@ -327,6 +359,7 @@ def page_plan(tier: Tier) -> list[tuple[int, str, int]]:
     for i in range(tier.hosts):
         n_art = n_articles(tier, i)
         n_hubs = max(1, n_art // 12)
+        plan.append((i, "home", 0))
         plan.append((i, "robots", 0))
         if has_sitemap(i):
             plan.append((i, "sitemap", 0))
@@ -363,6 +396,9 @@ def page_record(host_idx: int, kind: str, k: int, tier: Tier) -> dict:
         html, text = article_html(host_idx, 100000 + k, n_art, n_hubs)
         return dict(url=sitemap_only_url(host_idx, k), warc_ts=warc_ts,
                     html=html.encode(), text=text, lang=lang)
+    if kind == "home":
+        return dict(url=f"http://{host}/", warc_ts=warc_ts,
+                    html=home_html(host_idx, n_art, n_hubs).encode(), text="", lang=lang)
     if kind == "hub":
         return dict(url=hub_url(host_idx, k), warc_ts=warc_ts,
                     html=hub_html(host_idx, k, n_art).encode(), text="", lang=lang)
