@@ -111,17 +111,21 @@ def robots_gate(
         F.col("host").alias("__rhost"), "path_prefix", "allow", "rule_order"
     )
     # gate each INPUT ROW independently (duplicate url_hash rows may carry
-    # different priorities pre-dedup — don't collapse them here)
-    fr = frontier.withColumn("__path", url_path_expr("url_canon")).withColumn(
-        "__rid", F.monotonically_increasing_id()
-    )
+    # different priorities pre-dedup — don't collapse them). The window
+    # partitions on the full row identity instead of a generated row id:
+    # monotonically_increasing_id() marks the plan nondeterministic, which
+    # poisons every downstream re-execution (branches of a union may then
+    # legally disagree). Rows identical in ALL identity columns are
+    # indistinguishable, so collapsing those is harmless.
+    fr = frontier.withColumn("__path", url_path_expr("url_canon"))
+    identity_cols = [c for c in frontier.columns]
     joined = fr.join(
         F.broadcast(grp),
         (fr["host"] == grp["__rhost"]) & fr["__path"].startswith(grp["path_prefix"]),
         "left",
     ).drop("__rhost")
 
-    w = Window.partitionBy("__rid").orderBy(
+    w = Window.partitionBy(*identity_cols).orderBy(
         F.desc(F.length("path_prefix")),
         F.desc("allow"),          # length tie → Allow wins
         F.asc("rule_order"),
@@ -130,7 +134,7 @@ def robots_gate(
         joined.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .where(F.col("allow").isNull() | F.col("allow"))  # no match → allowed
-        .select(frontier.columns)
+        .select(identity_cols)
     )
 
 

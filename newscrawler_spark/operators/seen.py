@@ -76,10 +76,18 @@ def build_bloom_shards(seen: DataFrame, cfg: CrawlConfig) -> DataFrame:
 
     return (
         seen.select("url_hash")
-        .withColumn("bucket", F.pmod("url_hash", F.lit(cfg.seen_buckets)))
+        .withColumn("bucket", _bucket_expr(cfg))
         .groupBy("bucket")
         .applyInPandas(build, schema=SHARD_SCHEMA)
     )
+
+
+def _bucket_expr(cfg: CrawlConfig):
+    """Shard key. MUST be the same data type on both cogroup sides:
+    Spark hashes Int(5) and Long(5) to different partitions, so a silent
+    long-vs-int mismatch breaks cogroup co-partitioning (groups meet an
+    absent shard and every probe returns 'fresh'). Cast pinned to int."""
+    return F.pmod("url_hash", F.lit(cfg.seen_buckets)).cast("int")
 
 
 def bloom_split(links: DataFrame, shards: DataFrame, cfg: CrawlConfig) -> DataFrame:
@@ -109,7 +117,7 @@ def bloom_split(links: DataFrame, shards: DataFrame, cfg: CrawlConfig) -> DataFr
         out["maybe_seen"] = bits[:m][pos].all(axis=1)
         return out
 
-    lb = links.withColumn("bucket", F.pmod("url_hash", F.lit(cfg.seen_buckets)))
+    lb = links.withColumn("bucket", _bucket_expr(cfg))
     return (
         lb.groupBy("bucket")
         .cogroup(shards.groupBy("bucket"))

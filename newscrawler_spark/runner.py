@@ -222,11 +222,16 @@ def run_crawl(
         children = FR.dedup_in_batch(children.select(*FR.FRONTIER_COLS))
         if cfg.respect_robots:
             children = R.robots_gate(children, robots_rules, cfg.user_agent)
+        # materialize BEFORE the seen-dedup: bloom_dedup references its
+        # input twice (fresh ∪ exact-confirmed) — the two branches must
+        # probe the identical row set, not two re-executions of the
+        # discovery pipeline
+        gated_children = children.persist()
         seen_df = state.read_seen(r - 1)
         if use_bloom:
-            children = SN.bloom_dedup(children, seen_df, cfg)
+            children = SN.bloom_dedup(gated_children, seen_df, cfg)
         else:
-            children = FR.dedup_against_seen(children, seen_df)
+            children = FR.dedup_against_seen(gated_children, seen_df)
 
         # persist the per-round outputs: each feeds BOTH the commit write
         # and a counter, and fetch_log/children sit above Arrow UDF stages
@@ -266,7 +271,7 @@ def run_crawl(
         state.commit_round(
             r, new_frontier, children.select("url_hash"), fetch_log, articles, counters
         )
-        for df in (ok, fetch_log, children, articles):
+        for df in (ok, fetch_log, children, articles, gated_children):
             df.unpersist()
         rounds_run += 1
         if n_sched == 0:
