@@ -1,0 +1,248 @@
+"""Training-data deduplication operators over a documents corpus.
+
+Not part of the reference crawler — these are the required-at-scale
+additions for a web-text training pipeline (driver brief): exact dedup,
+n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+
+Everything is native DataFrame/Catalyst code (split/transform/aggregate/
+xxhash64/array fns) — no Python UDFs anywhere in this module, so the hot
+paths stay inside whole-stage codegen and scale with executors:
+
+- exact:   one groupBy(md5) shuffle; at 100 TB this is the cheapest pass.
+- jaccard: token-postings self-join blocked on shared tokens — exact but
+  quadratic per posting; for oracles/small corpora.
+- minhash: per-doc signature (p permutations, computed as p seeded
+  xxhash64 mins over the shingle array — one projection, no shuffle),
+  banded into b buckets → candidate pairs join only within buckets →
+  verified with exact Jaccard. This is the 100 TB path: shuffle volume is
+  O(docs·b) band keys instead of O(docs²).
+- simhash: 64-bit signature via per-bit majority vote over token hashes;
+  near-dups = equal signatures (or banded Hamming at scale).
+- embedding: cosine ≥ τ pairs, blocked by LSH sign-buckets (see
+  operators/similarity.py) or exact for small N.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = r"\s+"
+
+
+def tokens_expr(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(F.trim(c)), TOKEN_SPLIT), lambda t: t != "")
+
+
+def shingles_expr(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles, as strings (native transform)."""
+    toks = tokens_expr(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, sh).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def exact_dedup(documents: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one surviving id per distinct text.
+
+    Returns (content_md5, keep_id, n_dups). Deterministic keeper = min id.
+    """
+    return (
+        documents.select(F.md5(text_col).alias("content_md5"), F.col(id_col))
+        .groupBy("content_md5")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard duplicate pairs (id1 < id2, j >= threshold).
+
+    Token-postings join: explode shingles → pair docs sharing a shingle →
+    count shared → |A∪B| = |A|+|B|−shared. Exact (no approximation); the
+    shuffle is bounded by posting-list sizes, so at corpus scale prefer
+    :func:`minhash_lsh_pairs` which only verifies banded candidates.
+    """
+    sh = documents.select(
+        F.col(id_col).alias("id"), shingles_expr(text_col, n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    posts = sh.select("id", "n_sh", F.explode("sh").alias("s"))
+    a = posts.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1"), "s")
+    b = posts.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2"), "s")
+    pairs = (
+        a.join(b, "s")
+        .where(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2", "n1", "n2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .withColumn(
+            "jaccard",
+            F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return pairs
+
+
+def minhash_signature(text: Column | str, num_perm: int = 64, n: int = 3) -> Column:
+    """MinHash signature: array of ``num_perm`` longs.
+
+    Permutation i = min over shingles of xxhash64(shingle, seed=i) —
+    computed natively per row (transform + array_min), zero shuffle.
+    """
+    sh = shingles_expr(text, n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.xxhash64(s, i))
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-verified (the 100 TB dedup path).
+
+    signature → ``bands`` bands of ``num_perm/bands`` rows; band hash =
+    xxhash64 of the band slice; docs sharing any band bucket become
+    candidates; candidates are verified with true n-gram Jaccard. Output
+    (id1, id2, jaccard) — a superset-free result: FPs are filtered by the
+    verify stage; FNs are the usual LSH recall tradeoff (tested ≥ target
+    in tests/test_dedup.py).
+    """
+    r = num_perm // bands
+    sig = documents.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("text"),
+        minhash_signature(text_col, num_perm, n).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bnd: F.struct(
+                    bnd.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.transform(
+                            F.slice("sig", bnd * r + 1, r), lambda x: x.cast("string")
+                        ))
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bx"),
+    ).select("id", F.col("bx.band").alias("band"), F.col("bx.bh").alias("bh"))
+
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bh"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"))
+        .distinct()
+    )
+    sh = documents.select(
+        F.col(id_col).alias("id"), shingles_expr(text_col, n).alias("sh")
+    )
+    verified = (
+        cand.join(sh.select(F.col("id").alias("id1"), F.col("sh").alias("sh1")), "id1")
+        .join(sh.select(F.col("id").alias("id2"), F.col("sh").alias("sh2")), "id2")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh1", "sh2"))
+            / F.size(F.array_union("sh1", "sh2")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+def simhash_expr(text: Column | str, bits: int = 64) -> Column:
+    """SimHash: per-bit majority vote over token xxhash64s → one long.
+
+    Native: per bit i (unrolled Python loop → literal masks, since
+    shiftleft's distance must be a literal), count hashes with the bit
+    set; majority ⇒ set bit in the accumulator. Bit 63 uses the negative
+    signed mask. The expression is ~64 array scans per row — fine for a
+    64-term codegen'd expression; the corpus-scale alternative is the
+    explode→groupBy(doc, bit) relational form with identical semantics.
+    """
+    toks = tokens_expr(text)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    nt = F.size(toks)
+    # per-bit terms kept INDEPENDENT, then OR-folded: nesting the
+    # accumulator inside both when() branches doubles the expression tree
+    # per bit (2^64 nodes — analyzer OOM); this form is linear.
+    def bit_count(mask: Column) -> Column:
+        # NB: a 2-arg lambda would be read by pyspark as (value, index)
+        return F.size(F.filter(hashes, lambda h: h.bitwiseAND(mask) != 0))
+
+    terms = []
+    for i in range(bits):
+        m = (1 << i) if i < 63 else -(1 << 63)
+        mask = F.lit(m).cast("long")
+        cnt = bit_count(mask)
+        terms.append(F.when(cnt * 2 > nt, mask).otherwise(F.lit(0).cast("long")))
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc.bitwiseOR(t)
+    return acc
+
+
+def simhash_dup_groups(documents: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Docs sharing an identical 64-bit SimHash (near-dup by construction).
+
+    At corpus scale, Hamming-distance-k matching uses the standard 4-band
+    rotation trick over this same column; equality groups are the
+    oracle-checkable core.
+    """
+    return (
+        documents.select(F.col(id_col).alias("id"), simhash_expr(text_col).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"), F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+
+
+def embedding_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine(a, b) >= threshold, id1 < id2.
+
+    Exact all-pairs (for oracle scale). At 10^9 vectors use the LSH
+    bucketing in operators/similarity.py to block the join first.
+    """
+    from newscrawler_spark.operators.similarity import cosine_expr
+
+    e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a = e.select(F.col("id").alias("id1"), F.col("v").alias("v1"))
+    b = e.select(F.col("id").alias("id2"), F.col("v").alias("v2"))
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .withColumn("cos", cosine_expr(F.col("v1"), F.col("v2")))
+        .where(F.col("cos") >= threshold)
+        .select("id1", "id2", F.round("cos", 6).alias("cos"))
+    )

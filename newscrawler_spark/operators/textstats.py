@@ -1,0 +1,142 @@
+"""Text-analysis operators for a training-data pipeline (driver brief):
+language-ID, quality scoring, token counting, document fingerprinting.
+
+All native Catalyst column expressions (split / filter / array fns /
+regexp) — JVM-side, SQL-expressible, so every one has a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from newscrawler_spark.operators.dedup import shingles_expr, tokens_expr
+
+# Tiny marker lexicons for n-gram-free heuristic language ID. Deliberately
+# minimal: the operator is the point (argmax over per-language evidence),
+# not lexicon quality.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "des", "dans", "pour"],
+    "es": ["el", "la", "los", "que", "de", "y", "es", "en", "un", "por"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+_PUNCT_RE = r"[\.,;:!\?\(\)\[\]\"'«»—–-]"
+
+
+def token_count_expr(text: Column | str) -> Column:
+    """Whitespace token count (cheap proxy; BPE-ish estimate below)."""
+    return F.size(tokens_expr(text))
+
+
+def bpe_token_estimate_expr(text: Column | str) -> Column:
+    """BPE-ish subword-count estimate without a tokenizer model:
+    count of regex word pieces + digits + punctuation marks, with long
+    words contributing ceil(len/6) pieces — a standard serving-cost proxy.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    words = F.filter(F.split(F.lower(c), r"[^\p{L}\p{N}]+"), lambda t: t != "")
+    word_pieces = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.ceil(F.length(w) / 6.0).cast("long"),
+    )
+    punct = F.length(c) - F.length(F.regexp_replace(c, _PUNCT_RE, ""))
+    return (word_pieces + punct).alias("bpe_tokens")
+
+
+def quality_stats(documents: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-document quality features + composite score.
+
+    n_chars, n_tokens, mean_token_len, punct_ratio, stopword_ratio,
+    upper_ratio, quality_score ∈ [0,1]. All rounded for stable oracles.
+    """
+    c = F.col(text_col)
+    toks = tokens_expr(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = n_chars - F.length(F.regexp_replace(c, _PUNCT_RE, ""))
+    n_upper = n_chars - F.length(F.regexp_replace(c, r"[A-Z]", ""))
+    mean_tok = F.when(n_tok > 0, n_chars / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    upper_ratio = F.when(n_chars > 0, n_upper / n_chars).otherwise(F.lit(0.0))
+    # composite: long enough, not punctuation soup, not shouting —
+    # clamped linear mix (each term in [0,1])
+    score = (
+        F.least(n_tok / F.lit(50.0), F.lit(1.0)) * 0.5
+        + (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0))) * 0.25
+        + (F.lit(1.0) - F.least(upper_ratio * 5, F.lit(1.0))) * 0.25
+    )
+    return documents.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_calc"),
+        n_tok.alias("n_tokens"),
+        F.round(mean_tok, 4).alias("mean_token_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(upper_ratio, 4).alias("upper_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def langid(documents: DataFrame, id_col: str = "doc_id",
+           text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax over marker-hit counts.
+
+    For space-free scripts (zh) markers are matched as substrings of the
+    raw text; for the rest as whole tokens. Ties → lexicographically
+    first language (deterministic, oracle-friendly). Returns
+    (id, lang_pred, lang_hits).
+    """
+    toks = tokens_expr(text_col)
+    c = F.lower(F.col(text_col))
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        markers = LANG_MARKERS[lang]
+        if lang == "zh":
+            hits = sum(
+                (F.length(c) - F.length(F.regexp_replace(c, m, ""))) / F.length(F.lit(m))
+                for m in markers
+            ).cast("int")
+        else:
+            arr = F.array(*[F.lit(m) for m in markers])
+            hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(
+        F.array(*[
+            F.struct(
+                s["hits"].alias("hits"),
+                # invert lang for max() so ties pick the FIRST language
+                F.lit(len(LANG_MARKERS) - i).alias("ord"),
+                s["lang"].alias("lang"),
+            )
+            for i, s in enumerate(scores)
+        ])
+    )
+    return documents.select(
+        F.col(id_col),
+        best["lang"].alias("lang_pred"),
+        best["hits"].alias("lang_hits"),
+    )
+
+
+def fingerprint(documents: DataFrame, n: int = 5, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Document fingerprint: min md5 over word n-gram shingles.
+
+    A rolling-hash-style content signature that is stable under small
+    shifts and SQL-expressible (md5 exists in DuckDB) → exact oracle.
+    """
+    sh = shingles_expr(text_col, n)
+    return documents.select(
+        F.col(id_col),
+        F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("fingerprint"),
+    )

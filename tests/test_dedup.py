@@ -1,0 +1,118 @@
+"""Dedup operators: exact, n-gram Jaccard, MinHash+LSH recall, SimHash,
+embedding cosine — native plans, verified against brute-force in-Python."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from newscrawler_spark.operators.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_dup_groups,
+    simhash_expr,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy dog near the river bank yesterday"),  # near dup
+    (3, "completely different text about spark partitions and shuffle behavior"),
+    (4, "another unrelated document discussing bloom filters and hash tables"),
+    (5, "the quick brown fox jumps over the lazy dog near the river bend today"),  # near dup
+    (6, "tiny"),
+]
+
+
+def _py_jaccard(a: str, b: str, n: int = 3) -> float:
+    def sh(t):
+        toks = t.lower().split()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    A, B = sh(a), sh(b)
+    return len(A & B) / len(A | B)
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs_df):
+    rows = exact_dedup(docs_df).collect()
+    groups = {r.keep_id: r.n_dups for r in rows}
+    assert groups[0] == 2          # docs 0+1 collapse, keeper = min id
+    assert sum(groups.values()) == len(DOCS)
+    assert len(rows) == len(DOCS) - 1
+
+
+def test_ngram_jaccard_matches_python(spark, docs_df):
+    got = {
+        (r.id1, r.id2): r.jaccard
+        for r in ngram_jaccard_pairs(docs_df, threshold=0.5).collect()
+    }
+    want = {}
+    for (i, a), (j, b) in itertools.combinations(DOCS, 2):
+        jac = _py_jaccard(a, b)
+        if jac >= 0.5:
+            want[(i, j)] = jac
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-6, k
+
+
+def test_minhash_lsh_recall_and_precision(spark, docs_df):
+    """LSH verified output ⊆ exact pairs; recall 100% on this tiny corpus
+    with 64 perms / 16 bands (threshold curve ≈ (1/16)^(1/4) ≈ 0.5)."""
+    exact = {
+        (r.id1, r.id2)
+        for r in ngram_jaccard_pairs(docs_df, threshold=0.6).collect()
+    }
+    lsh = {
+        (r.id1, r.id2)
+        for r in minhash_lsh_pairs(docs_df, threshold=0.6).collect()
+    }
+    assert lsh <= exact or lsh == exact
+    assert len(lsh) >= len(exact) * 0.99  # full recall expected here
+
+
+def test_simhash_exact_dups_collide(spark, docs_df):
+    groups = simhash_dup_groups(docs_df).collect()
+    assert any(set(g.ids) >= {0, 1} for g in groups)
+
+
+def test_simhash_near_dups_close(spark, docs_df):
+    rows = docs_df.select("doc_id", simhash_expr("text").alias("sh")).collect()
+    sig = {r.doc_id: r.sh for r in rows}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert ham(sig[0], sig[2]) <= 12      # near dups: few bits differ
+    assert ham(sig[0], sig[3]) > ham(sig[0], sig[2])  # unrelated: more bits
+
+
+def test_embedding_cosine_pairs(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.04, 0.0]),   # near dup of 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    pairs = {(r.id1, r.id2) for r in embedding_cosine_pairs(df, 0.95).collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_dedup_plans_are_jvm_only(spark, docs_df):
+    for df in (
+        exact_dedup(docs_df),
+        ngram_jaccard_pairs(docs_df, 0.5),
+        minhash_lsh_pairs(docs_df, 0.5),
+        simhash_dup_groups(docs_df),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan

@@ -1,0 +1,89 @@
+"""Similarity search: brute-force exactness vs numpy, LSH recall, plans."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from newscrawler_spark.operators.similarity import (
+    ann_lsh_topk,
+    brute_force_topk,
+    cosine_expr,
+)
+
+DIM = 16
+N = 200
+
+
+@pytest.fixture(scope="module")
+def emb_np():
+    """Clustered vectors — the near-dup ANN use case: 40 centers × 5 noisy
+    members, so true top-5 neighbors have cosine ≈ 0.95+ (LSH's working
+    regime; i.i.d. gaussian points have no meaningful neighbors)."""
+    rng = np.random.default_rng(42)
+    centers = rng.standard_normal((N // 5, DIM))
+    v = np.repeat(centers, 5, axis=0) + 0.15 * rng.standard_normal((N, DIM))
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark, emb_np):
+    return spark.createDataFrame(
+        [(i, emb_np[i].tolist()) for i in range(N)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+@pytest.fixture(scope="module")
+def queries_df(spark, emb_np):
+    return spark.createDataFrame(
+        [(i, emb_np[i].tolist()) for i in (0, 7, 42)],
+        "query_id long, query_vec array<double>",
+    )
+
+
+def test_cosine_expr_matches_numpy(spark, emb_np):
+    df = spark.createDataFrame(
+        [(emb_np[0].tolist(), emb_np[1].tolist())],
+        "a array<double>, b array<double>",
+    )
+    got = df.select(cosine_expr(F.col("a"), F.col("b")).alias("c")).first().c
+    want = float(emb_np[0] @ emb_np[1])
+    assert abs(got - want) < 1e-9
+
+
+def test_brute_force_topk_exact(spark, emb_df, queries_df, emb_np):
+    got = brute_force_topk(emb_df, queries_df, k=5).collect()
+    for qid in (0, 7, 42):
+        sims = emb_np @ emb_np[qid]
+        want = sorted(range(N), key=lambda i: (-round(sims[i], 9), i))[:5]
+        rows = sorted((r for r in got if r.query_id == qid), key=lambda r: r.rank)
+        assert [r.vec_id for r in rows] == want
+        assert rows[0].vec_id == qid and abs(rows[0].cos - 1.0) < 1e-6
+
+
+def test_ann_lsh_recall(spark, emb_df, queries_df, emb_np):
+    """LSH top-5 must recover most of the true top-5 (multi-probe, 4
+    tables × 8 planes on 200 vecs ⇒ high recall)."""
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(emb_df, queries_df, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ann_lsh_topk(emb_df, queries_df, k=5, dim=DIM).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6
+    # the query vector itself always lands in its own bucket
+    assert all((q, q) in approx for q in (0, 7, 42))
+
+
+def test_similarity_plans_are_jvm_only(spark, emb_df, queries_df):
+    for df in (
+        brute_force_topk(emb_df, queries_df, k=3),
+        ann_lsh_topk(emb_df, queries_df, k=3, dim=DIM, n_tables=2),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan

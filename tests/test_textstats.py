@@ -1,0 +1,92 @@
+"""Text-analysis operators: token counts, quality stats, langid,
+fingerprints — native plans with value spot-checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from newscrawler_spark.operators.textstats import (
+    bpe_token_estimate_expr,
+    fingerprint,
+    langid,
+    quality_stats,
+    token_count_expr,
+)
+
+DOCS = [
+    (0, "The cat sat on the mat, and the dog barked.", "en"),
+    (1, "Der Hund ist nicht in der Schule und das Kind war da.", "de"),
+    (2, "Le chat est dans la maison et les enfants sont pas là.", "fr"),
+    (3, "El perro es un animal que vive en la casa por años.", "es"),
+    (4, "我是人，他有不同的看法，就在这里。", "zh"),
+    (5, "", "en"),
+    (6, "ALL CAPS SHOUTING!!! ???", "en"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t, _l in DOCS], "doc_id long, text string"
+    )
+
+
+def test_token_count(spark, docs_df):
+    got = {
+        r.doc_id: r.n
+        for r in docs_df.select("doc_id", token_count_expr("text").alias("n")).collect()
+    }
+    assert got[0] == len(DOCS[0][1].split())
+    assert got[5] == 0
+
+
+def test_bpe_estimate_positive_and_monotonic(spark, docs_df):
+    got = {
+        r.doc_id: r.n
+        for r in docs_df.select(
+            "doc_id", bpe_token_estimate_expr("text").alias("n")
+        ).collect()
+    }
+    assert got[5] == 0
+    assert got[0] > 0
+    # punctuation adds pieces
+    assert got[6] >= 7
+
+
+def test_quality_stats(spark, docs_df):
+    rows = {r.doc_id: r for r in quality_stats(docs_df).collect()}
+    assert rows[5].n_tokens == 0 and rows[5].quality_score <= 0.5
+    assert rows[6].upper_ratio > 0.3
+    assert rows[0].stopword_ratio > 0.2       # several 'the'
+    assert 0.0 <= rows[0].quality_score <= 1.0
+    assert rows[0].quality_score > rows[6].quality_score
+
+
+def test_langid(spark, docs_df):
+    got = {r.doc_id: r.lang_pred for r in langid(docs_df).collect()}
+    for i, _t, lang in DOCS[:5]:
+        assert got[i] == lang, (i, got[i], lang)
+
+
+def test_fingerprint_stability_and_shift(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (1, "PREFIX alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "totally different words entirely here now okay then yes no"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.fingerprint for r in fingerprint(df, n=5).collect()}
+    assert rows[0] is not None and len(rows[0]) == 32
+    # shingle-min fingerprint survives a small prefix shift...
+    assert rows[0] == rows[1]
+    # ...but differs for unrelated content
+    assert rows[0] != rows[2]
+
+
+def test_textstats_plans_are_jvm_only(spark, docs_df):
+    for df in (quality_stats(docs_df), langid(docs_df), fingerprint(docs_df)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan
