@@ -1,38 +1,47 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship crawl on the smoke-tier synthetic
+corpus and returns its fetch log (the north rule's headline artifact:
+windowed rank-per-host ordering). ``queries()``/``oracle_sql()`` cover
+SURVEY.md §3's operator inventory (relational shapes over the driver's
+TPC-H-ish views, crawl operators over the deterministic fixture cache)
+plus the training-data additions (dedup / similarity / text analysis /
+multimodal). Implementations live in ``newscrawler_spark.contract``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full crawl of the smoke corpus → fetch log.
+
+    Deterministic: same corpus (seed=42), same config ⇒ byte-stable
+    ordering (engine ≡ mini-oracle, tests/test_e2e_ordering.py).
+    """
+    from newscrawler_spark.contract import SMOKE_CFG, ensure_cache, _p
+
+    ensure_cache(spark, "smoke")
+    return (
+        spark.read.parquet(_p("smoke", "fetch_log"))
+        .orderBy("fetch_round", "host", "rank_in_host")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from newscrawler_spark.contract import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from newscrawler_spark.contract import all_oracles
+
+    return all_oracles()

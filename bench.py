@@ -1,0 +1,147 @@
+"""Benchmark entry point (driver-run; prints ONE JSON line).
+
+Headline metric: crawl frontier throughput — URLs scheduled + articles
+extracted per second over a fixed-round crawl of the bench-tier corpus
+(50 hosts, 2 hot hosts holding ~40% of pages — exercises the salted
+politeness window, Bloom seen-set, Arrow extraction, snapshot commits).
+
+Also times a representative subset of the driver-contract queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] parallelism (default 32)
+  SPARK_GRAFT_BENCH_ROUNDS   crawl rounds to time (default 3)
+  SPARK_GRAFT_BENCH_BUDGET   per-host fetches/round (default 400)
+
+Scaling evidence (N vs 4N cores) lives in bench_scaling.py →
+BENCH/BASELINE.md; this file stays single-parallelism so the driver's
+per-round timing is comparable across rounds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from newscrawler_spark.config import CrawlConfig  # noqa: E402
+
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q02_top_customers",
+    "q10_events_rank_per_user",
+    "q21_frontier_rank",
+    "q22_robots_gate",
+    "q23_seen_dedup",
+    "q30_dedup_exact",
+    "q31_ngram_jaccard",
+    "q34_embedding_near_dups",
+    "q35_ann_topk",
+    "q36_quality_stats",
+    "q37_langid",
+]
+
+
+def ensure_bench_corpus(spark) -> str:
+    """Bench-tier corpus parquet, cached under .fixtures/bench."""
+    from newscrawler_spark.contract import FIXTURES
+    from newscrawler_spark.sources.fixtures import pages_df, seeds_df
+
+    d = os.path.join(FIXTURES, "bench")
+    marker = os.path.join(d, "_CORPUS_COMPLETE")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        pages_df(spark, "bench").write.mode("overwrite").parquet(f"{d}/pages.parquet")
+        seeds_df(spark, "bench", per_host_budget=10**6).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/seeds.parquet")
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    return d
+
+
+def crawl_throughput(spark, rounds: int, budget: int) -> dict:
+    """Fixed-round crawl on the bench corpus → urls+articles per second."""
+    from newscrawler_spark.runner import run_crawl
+
+    d = ensure_bench_corpus(spark)
+    pages = spark.read.parquet(f"{d}/pages.parquet")
+    seeds = spark.read.parquet(f"{d}/seeds.parquet")
+    cfg = CrawlConfig(
+        per_host_budget=budget,
+        max_depth=3,
+        round_seconds=10**6,  # don't let fixture crawl-delays cap the budget
+        batch_size=None,
+        hot_host_threshold=2000,  # hot hosts take the salted window path
+    )
+    state_dir = tempfile.mkdtemp(prefix="bench_crawl_")
+    try:
+        t0 = time.monotonic()
+        res = run_crawl(spark, pages, seeds, state_dir, cfg,
+                        max_rounds=rounds, use_bloom=True)
+        wall = time.monotonic() - t0
+        counters = res.state.read_counters().collect()
+        scheduled = sum(r.urls_scheduled for r in counters)
+        extracted = sum(r.articles_extracted for r in counters)
+        fetched = sum(r.urls_fetched for r in counters)
+        by_round = {
+            str(r.fetch_round): round(r.wall_ms / 1000.0, 2) for r in counters
+        }
+    finally:
+        shutil.rmtree(state_dir, ignore_errors=True)
+    return {
+        "wall_s": round(wall, 2),
+        "urls_scheduled": scheduled,
+        "urls_fetched": fetched,
+        "articles_extracted": extracted,
+        "throughput_urls_per_s": round((scheduled + extracted) / wall, 1),
+        "round_wall_s": by_round,
+        "rounds": res.rounds_run,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+    budget = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "400"))
+
+    from newscrawler_spark.contract import all_queries, ensure_cache
+    from newscrawler_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+    # fixture caches outside the timed region
+    ensure_cache(spark, "correctness")
+
+    crawl = crawl_throughput(spark, rounds, budget)
+
+    queries = all_queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        n = queries[name](spark, sf_dir).count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        assert n >= 0
+    timings["crawl_3rounds"] = crawl["wall_s"]
+
+    out = {
+        "metric": "crawl throughput (urls scheduled + articles extracted)/sec, bench corpus",
+        "value": crawl["throughput_urls_per_s"],
+        "unit": "urls/sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "crawl": crawl,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Two-cluster-size scaling evidence (north rule: ≥0.8 efficiency N→4N).
+
+No real multi-node cluster exists in this sandbox; per the driver's
+instruction the criterion is evidenced by running the SAME crawl job on
+the SAME input at two parallelism levels — local[8] (N) and local[32]
+(4N) — and reporting throughput at both plus
+
+    scaling_efficiency = (throughput_4N / throughput_N) / 4
+
+Results land in BENCH/BASELINE.md. Run: ``python bench_scaling.py``.
+
+Method notes for a fair reading:
+- one warm-up action per session is excluded (JVM/codegen warmup);
+- the measured region is the full crawl loop (schedule → fetch join →
+  Arrow stats/extraction → discovery → dedup → snapshot commit), the
+  same code that ships to a real cluster via spark-submit --py-files;
+- sessions are created/stopped sequentially (config freezes at first
+  getOrCreate, see .claude/skills/verify).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bench import crawl_throughput, ensure_bench_corpus  # noqa: E402
+from newscrawler_spark.session import get_spark  # noqa: E402
+
+
+def run_at(cores: int, rounds: int, budget: int) -> dict:
+    spark = get_spark(master=f"local[{cores}]", shuffle_partitions=cores,
+                      app_name=f"bench-scaling-{cores}")
+    try:
+        ensure_bench_corpus(spark)
+        # warm-up: tiny action to JIT the hot paths before timing
+        spark.range(10**6).selectExpr("sum(id)").collect()
+        return crawl_throughput(spark, rounds, budget)
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+    budget = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "400"))
+    small_n = int(os.environ.get("SPARK_GRAFT_SMALL_CORES", "8"))
+    large_n = 4 * small_n
+
+    small = run_at(small_n, rounds, budget)
+    large = run_at(large_n, rounds, budget)
+
+    t_small = small["throughput_urls_per_s"]
+    t_large = large["throughput_urls_per_s"]
+    eff = round(t_large / (4 * t_small), 3)
+
+    os.makedirs("BENCH", exist_ok=True)
+    result = {
+        "small_cores": small_n,
+        "large_cores": large_n,
+        "throughput_small": t_small,
+        "throughput_large": t_large,
+        "scaling_efficiency": eff,
+        "rounds": rounds,
+        "budget_per_host": budget,
+        "small": small,
+        "large": large,
+    }
+    with open("BENCH/scaling.json", "w") as f:
+        json.dump(result, f, indent=1)
+
+    md = f"""# BENCH/BASELINE.md — two-parallelism scaling evidence
+
+North rule: ≥0.8 throughput scaling efficiency from N to 4N executors.
+Sandbox stand-in (per driver instruction): same crawl job, same input,
+local[{small_n}] vs local[{large_n}].
+
+| run | master | throughput (urls+articles)/s | wall (s) |
+|---|---|---|---|
+| small (N) | local[{small_n}] | {t_small} | {small['wall_s']} |
+| large (4N) | local[{large_n}] | {t_large} | {large['wall_s']} |
+
+**scaling_efficiency = ({t_large} / {t_small}) / 4 = {eff}**
+
+Workload: {rounds} crawl rounds on the bench corpus (50 hosts, 2 hot
+hosts ≈40% of pages), per-host budget {budget}; full engine path —
+windowed rank-per-host scheduling with salted hot-host pre-prune,
+Bloom-sharded seen-set dedup, Arrow-batched heuristics + extraction,
+link discovery, parquet+manifest snapshot commit per round.
+
+Per-round wall (s): small={small['round_wall_s']},
+large={large['round_wall_s']}.
+Scheduled: {small['urls_scheduled']} urls; extracted:
+{small['articles_extracted']} articles (identical both runs —
+determinism invariant; raw json: BENCH/scaling.json).
+"""
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(md)
+    print(json.dumps({"scaling_efficiency": eff,
+                      "throughput_small": t_small,
+                      "throughput_large": t_large}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,832 @@
+"""Driver-contract implementation: queries() / oracle_sql() pairs.
+
+Two input families:
+
+- the driver's TPC-H-ish tables (pre-registered DuckDB views) — honest
+  two-sided checks of every relational shape the engine uses (SURVEY.md
+  §3.I): aggs, anti/semi/outer/broadcast joins, windows, top-k, set ops,
+  rollup, scalar fns, explode.
+- the deterministic crawl fixture cache under ``.fixtures/<tier>/`` —
+  built once per machine from the seeded corpus (sources/fixtures.py) by
+  running the REAL engine; oracle SQL reads the same parquet via
+  ``read_parquet`` (absolute paths; driver correctness runs at sf0.01 →
+  the 'correctness' tier).
+
+Column names are aliased identically on both sides; doubles rounded;
+outputs avoid raw timestamps where practical (driver hashes values).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from newscrawler_spark.config import CrawlConfig
+
+REPO = os.path.dirname(os.path.abspath(__file__ + "/.."))
+FIXTURES = os.path.join(REPO, ".fixtures")
+
+# cache-crawl config: budget high + politeness quantum long so the whole
+# corpus crawls in a handful of rounds (crawl-delay=2 would cap at 5/round)
+CACHE_CFG = CrawlConfig(per_host_budget=50, max_depth=3, round_seconds=1000.0)
+SMOKE_CFG = CrawlConfig(per_host_budget=40, max_depth=3, round_seconds=1000.0)
+
+
+def tier_for(sf_dir: str) -> str:
+    if "0.001" in sf_dir:
+        return "smoke"
+    return "correctness"  # sf0.01 AND sf0.1 share the correctness cache
+
+
+def cache_dir(tier: str) -> str:
+    return os.path.join(FIXTURES, tier)
+
+
+def _p(tier: str, table: str) -> str:
+    return os.path.join(cache_dir(tier), f"{table}.parquet")
+
+
+def _rp(table: str) -> str:
+    """read_parquet() source for oracle SQL — pinned to the correctness
+    tier (the driver runs oracles at sf0.01 only)."""
+    return f"read_parquet('{_p('correctness', table)}/*.parquet')"
+
+
+def ensure_cache(spark: SparkSession, tier: str) -> str:
+    """Build the crawl fixture cache for ``tier`` (idempotent, seeded)."""
+    d = cache_dir(tier)
+    marker = os.path.join(d, "_COMPLETE")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+
+    from newscrawler_spark.operators import frontier as FR
+    from newscrawler_spark.operators import robots as R
+    from newscrawler_spark.runner import (
+        build_host_budgets,
+        enrich_pages,
+        run_crawl,
+    )
+    from newscrawler_spark.sources.fixtures import pages_df, seeds_df
+    from newscrawler_spark.streaming.daemon import feed_snapshot
+
+    cfg = SMOKE_CFG if tier == "smoke" else CACHE_CFG
+    pages = pages_df(spark, tier)
+    seeds = seeds_df(spark, tier, per_host_budget=cfg.per_host_budget,
+                     max_depth=cfg.max_depth)
+    pages.write.mode("overwrite").parquet(_p(tier, "pages"))
+    pages = spark.read.parquet(_p(tier, "pages"))
+
+    pe = enrich_pages(pages)
+    pe.drop("html", "text").write.mode("overwrite").parquet(_p(tier, "pages_enriched"))
+    pe_cached = pe.persist()
+
+    rules = R.build_robots_rules(pe_cached)
+    rules.write.mode("overwrite").parquet(_p(tier, "robots_rules"))
+    rules = spark.read.parquet(_p(tier, "robots_rules"))
+    budgets = build_host_budgets(
+        seeds, R.host_crawl_delays(rules, cfg.user_agent), cfg
+    )
+    budgets.write.mode("overwrite").parquet(_p(tier, "host_budgets"))
+
+    # full crawl → golden state tables
+    state_dir = os.path.join(d, "state")
+    from newscrawler_spark.runner import run_crawl as _run
+
+    res = _run(spark, pages, seeds, state_dir, cfg, max_rounds=12, run_id=tier)
+    st = res.state
+    st.read_frontier(0).write.mode("overwrite").parquet(_p(tier, "frontier0"))
+    st.read_fetch_log().write.mode("overwrite").parquet(_p(tier, "fetch_log"))
+    st.read_seen().write.mode("overwrite").parquet(_p(tier, "seen"))
+    arts = st.read_articles()
+    arts.write.mode("overwrite").parquet(_p(tier, "articles"))
+
+    # multi-version articles (F2 drill): every 3rd url gets a +1 day copy
+    v2 = arts.where(F.pmod("url_hash", F.lit(3)) == 0).withColumn(
+        "download_date", F.col("download_date") + F.expr("INTERVAL 1 DAY")
+    ).withColumn("article_text", F.concat(F.col("article_text"), F.lit(" [v2]")))
+    arts.unionByName(v2).write.mode("overwrite").parquet(_p(tier, "articles_versions"))
+
+    from newscrawler_spark.operators.extract import with_is_current
+
+    with_is_current(spark.read.parquet(_p(tier, "articles_versions"))).where(
+        "is_current"
+    ).write.mode("overwrite").parquet(_p(tier, "articles_current"))
+
+    feed_snapshot(pe_cached).write.mode("overwrite").parquet(_p(tier, "rss_snapshot"))
+
+    # candidate links for the seen-dedup demo: every corpus url + fabricated
+    # fresh urls, frontier-shaped
+    links = pe_cached.select("url", "url_canon", "url_hash", "host").unionByName(
+        pe_cached.select(
+            F.concat(F.col("url"), F.lit("?fresh=1")).alias("url"),
+            F.concat(F.col("url_canon"), F.lit("?fresh=1")).alias("url_canon"),
+            F.xxhash64(F.concat(F.col("url_canon"), F.lit("?fresh=1"))).alias("url_hash"),
+            F.col("host"),
+        )
+    ).withColumn("priority", F.lit(10)).withColumn("depth", F.lit(1)) \
+     .withColumn("discovered_round", F.lit(1)) \
+     .withColumn("seed_host", F.col("host")).withColumn("retry", F.lit(0))
+    links.write.mode("overwrite").parquet(_p(tier, "links"))
+    pe_cached.unpersist()
+
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return d
+
+
+# =====================================================================
+# TPC-H-ish relational demos (driver views; two-sided oracles)
+# =====================================================================
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q01_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: hash agg with partial aggregation (map-side combine)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q02_top_customers(spark, sf_dir):
+    """Join + grouped agg + deterministic top-10 (TakeOrdered, no full sort)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+def q03_order_rollup(spark, sf_dir):
+    """ROLLUP grouping sets (counters-style reporting)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n", "total",
+        )
+    )
+
+
+def q04_parts_never_ordered(spark, sf_dir):
+    """LEFT ANTI join — the B3 dedup shape."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        p.join(li.select("l_partkey"), p["p_partkey"] == li["l_partkey"], "left_anti")
+        .select("p_partkey", "p_name", "p_brand")
+    )
+
+
+def q05_customers_with_orders(spark, sf_dir):
+    """LEFT SEMI join — the B4 offsite-filter shape."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o.select("o_custkey"), c["c_custkey"] == o["o_custkey"], "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def q06_latest_order_per_customer(spark, sf_dir):
+    """row_number() current-version window — the F2 shape."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey",
+                F.col("o_orderdate").cast("string").alias("o_orderdate"))
+    )
+
+
+def q07_supplier_nation_broadcast(spark, sf_dir):
+    """Broadcast dim join — the B9 robots-table shape (plan asserts in tests)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"),
+             F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"))
+    )
+
+
+def q08_order_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT — frontier-evolution set algebra."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    high = o.where(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    both = urgent.intersect(high).withColumn("kind", F.lit("both"))
+    only_urgent = urgent.distinct().subtract(high.distinct()).withColumn("kind", F.lit("urgent_only"))
+    return both.unionByName(only_urgent).select("o_custkey", "kind")
+
+
+def q09_scalar_functions(spark, sf_dir):
+    """H1 scalar battery: md5 / substring / concat_ws / date_format / length."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 100)
+    return o.select(
+        "o_orderkey",
+        F.md5(F.col("o_orderstatus")).alias("status_md5"),
+        F.substring(F.col("o_orderpriority"), 1, 1).alias("prio_code"),
+        F.concat_ws("/", F.col("o_orderstatus"), F.col("o_orderpriority")).alias("path_key"),
+        F.date_format(F.col("o_orderdate"), "yyyy-MM").alias("order_month"),
+        F.length(F.col("o_orderpriority")).alias("prio_len"),
+    )
+
+
+def q10_events_rank_per_user(spark, sf_dir):
+    """The B7 priority-queue shape on the events table: rank-per-key with a
+    total tie-break, keep top-3."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), F.asc("ts"), F.asc("event_id")
+    )
+    return (
+        e.withColumn("rank_in_user", F.row_number().over(w))
+        .where(F.col("rank_in_user") <= 3)
+        .select("user_id", "event_id", "event_type",
+                F.round("value", 2).alias("value"), "rank_in_user")
+    )
+
+
+def q11_doc_token_explode(spark, sf_dir):
+    """UDTF shape: split → explode → re-aggregate (C1 link-explode analog)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower(F.trim("text")), r"\s+"), lambda t: t != "")
+        ).alias("tok"),
+    )
+    return (
+        toks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.countDistinct("tok").alias("n_distinct"))
+    )
+
+
+RELATIONAL_ORACLES = {
+    "q01_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q02_top_customers": """
+        SELECT c_custkey, c_name,
+               round(sum(o_totalprice), 2) AS total_spent,
+               count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name
+        ORDER BY total_spent DESC, c_custkey ASC LIMIT 10
+    """,
+    "q03_order_rollup": """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "q04_parts_never_ordered": """
+        SELECT p_partkey, p_name, p_brand FROM part
+        WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+    """,
+    "q05_customers_with_orders": """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+    "q06_latest_order_per_customer": """
+        SELECT o_custkey, o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders) WHERE rn = 1
+    """,
+    "q07_supplier_nation_broadcast": """
+        SELECT r_name, count(*) AS n_suppliers,
+               round(sum(s_acctbal), 2) AS total_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "q08_order_set_ops": """
+        WITH urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+             high AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+        SELECT o_custkey, 'both' AS kind FROM (SELECT * FROM urgent INTERSECT SELECT * FROM high)
+        UNION ALL
+        SELECT DISTINCT o_custkey, 'urgent_only' AS kind
+        FROM (SELECT * FROM urgent EXCEPT SELECT * FROM high)
+    """,
+    "q09_scalar_functions": """
+        SELECT o_orderkey, md5(o_orderstatus) AS status_md5,
+               substring(o_orderpriority, 1, 1) AS prio_code,
+               concat_ws('/', o_orderstatus, o_orderpriority) AS path_key,
+               strftime(o_orderdate, '%Y-%m') AS order_month,
+               length(o_orderpriority) AS prio_len
+        FROM orders WHERE o_orderkey <= 100
+    """,
+    "q10_events_rank_per_user": """
+        SELECT user_id, event_id, event_type, round(value, 2) AS value, rank_in_user
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY user_id ORDER BY value DESC, ts ASC, event_id ASC
+              ) AS rank_in_user FROM events)
+        WHERE rank_in_user <= 3
+    """,
+    "q11_doc_token_explode": """
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(
+                string_split_regex(lower(trim(text)), '\\s+'), t -> t != '')) AS tok
+            FROM documents)
+        SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct
+        FROM toks GROUP BY doc_id
+    """,
+}
+
+
+# =====================================================================
+# Crawl-engine demos over the fixture cache (two-sided via read_parquet)
+# =====================================================================
+
+
+def q20_canon_enrich(spark, sf_dir):
+    """B1/B2/B5 — native canon/hash/host recomputed from raw pages must
+    equal the cached enrichment (determinism pin; semantics are
+    three-way-parity-tested in tests/test_canon.py)."""
+    from newscrawler_spark.operators.frontier import enrich_urls
+
+    tier = tier_for(sf_dir)
+    ensure_cache(spark, tier)
+    pages = spark.read.parquet(_p(tier, "pages"))
+    from newscrawler_spark.runner import enrich_pages
+
+    return enrich_pages(pages).select("url", "url_canon", "url_hash", "host", "lang")
+
+
+def q21_frontier_rank(spark, sf_dir):
+    """B7/B8 — windowed rank-per-host scheduling vs a plain SQL window."""
+    from newscrawler_spark.operators.frontier import schedule_round
+
+    tier = tier_for(sf_dir)
+    ensure_cache(spark, tier)
+    frontier = spark.read.parquet(_p(tier, "frontier0"))
+    budgets = spark.read.parquet(_p(tier, "host_budgets"))
+    cfg = CrawlConfig(batch_size=None)
+    return schedule_round(frontier, cfg, budgets).select(
+        "host", "url_canon", "url_hash", "priority", "depth", "rank_in_host"
+    )
+
+
+def q22_robots_gate(spark, sf_dir):
+    """B9 — broadcast longest-prefix robots gate vs SQL."""
+    from newscrawler_spark.operators.robots import robots_gate
+
+    tier = tier_for(sf_dir)
+    ensure_cache(spark, tier)
+    links = spark.read.parquet(_p(tier, "links"))
+    rules = spark.read.parquet(_p(tier, "robots_rules"))
+    return robots_gate(links, rules, "newscrawler").select(
+        "url_canon", "url_hash", "host"
+    )
+
+
+def q23_seen_dedup(spark, sf_dir):
+    """B3 — bloom-prefiltered seen dedup ≡ SQL anti join."""
+    from newscrawler_spark.operators.seen import bloom_dedup
+
+    tier = tier_for(sf_dir)
+    ensure_cache(spark, tier)
+    links = spark.read.parquet(_p(tier, "links"))
+    seen = spark.read.parquet(_p(tier, "seen"))
+    return bloom_dedup(links, seen, CrawlConfig()).select(
+        "url_canon", "url_hash", "host"
+    )
+
+
+def q24_articles_current(spark, sf_dir):
+    """F2 — current/archive versioning window vs SQL."""
+    from newscrawler_spark.operators.extract import with_is_current
+
+    tier = tier_for(sf_dir)
+    ensure_cache(spark, tier)
+    av = spark.read.parquet(_p(tier, "articles_versions"))
+    return (
+        with_is_current(av)
+        .where("is_current")
+        .select("url_canon", "url_hash",
+                F.col("download_date").cast("string").alias("download_date"),
+                F.length("article_text").alias("text_len"))
+    )
+
+
+def q25_rss_compare(spark, sf_dir):
+    """F1 — RSS re-crawl compare (left outer + strict-newer filter) vs SQL."""
+    from newscrawler_spark.operators.store import rss_recrawl_compare
+
+    tier = tier_for(sf_dir)
+    ensure_cache(spark, tier)
+    snap = spark.read.parquet(_p(tier, "rss_snapshot"))
+    cur = spark.read.parquet(_p(tier, "articles_current"))
+    return rss_recrawl_compare(snap, cur).select(
+        "url_canon", "url_hash", "feed_host",
+        F.col("modified_date").cast("string").alias("modified_date"),
+    )
+
+
+def q26_fetch_counters(spark, sf_dir):
+    """Per-round crawl metrics re-aggregated from the golden fetch_log."""
+    tier = tier_for(sf_dir)
+    ensure_cache(spark, tier)
+    fl = spark.read.parquet(_p(tier, "fetch_log"))
+    return (
+        fl.groupBy("fetch_round")
+        .agg(
+            F.count(F.lit(1)).alias("n_scheduled"),
+            F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("n_ok"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.max("rank_in_host").alias("max_rank"),
+        )
+    )
+
+
+CRAWL_ORACLES = {
+    "q20_canon_enrich": f"""
+        SELECT url, url_canon, url_hash, host, lang FROM {_rp('pages_enriched')}
+    """,
+    "q21_frontier_rank": f"""
+        WITH fr AS (
+            SELECT f.*, coalesce(b.budget, 5) AS budget
+            FROM {_rp('frontier0')} f
+            LEFT JOIN {_rp('host_budgets')} b USING (host)
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY host
+                ORDER BY priority DESC, depth ASC, discovered_round ASC, url_hash ASC
+            ) AS rank_in_host
+            FROM fr
+        )
+        SELECT host, url_canon, url_hash, priority, depth, rank_in_host
+        FROM ranked WHERE rank_in_host <= budget
+    """,
+    "q22_robots_gate": f"""
+        WITH grp AS (
+            SELECT r.* FROM {_rp('robots_rules')} r
+            WHERE r.user_agent IN ('newscrawler', '*') AND r.path_prefix != ''
+              AND (r.user_agent = 'newscrawler' OR r.host NOT IN (
+                   SELECT DISTINCT host FROM {_rp('robots_rules')}
+                   WHERE user_agent = 'newscrawler'))
+        ), fr AS (
+            SELECT l.*, CASE
+                WHEN regexp_extract(l.url_canon,
+                     '^[a-z][a-z0-9+.\\-]*://[^/]*(/.*)?$', 1) = '' THEN '/'
+                ELSE regexp_extract(l.url_canon,
+                     '^[a-z][a-z0-9+.\\-]*://[^/]*(/.*)?$', 1) END AS path
+            FROM {_rp('links')} l
+        ), matched AS (
+            SELECT fr.url_canon, fr.url_hash, fr.host, g.allow,
+                   row_number() OVER (
+                       PARTITION BY fr.url_canon, fr.url_hash, fr.host, fr.url,
+                                    fr.priority, fr.depth, fr.discovered_round,
+                                    fr.seed_host, fr.retry
+                       ORDER BY length(g.path_prefix) DESC, g.allow DESC,
+                                g.rule_order ASC
+                   ) AS rn
+            FROM fr LEFT JOIN grp g
+              ON fr.host = g.host AND starts_with(fr.path, g.path_prefix)
+        )
+        SELECT url_canon, url_hash, host FROM matched
+        WHERE rn = 1 AND (allow IS NULL OR allow)
+    """,
+    "q23_seen_dedup": f"""
+        SELECT url_canon, url_hash, host FROM {_rp('links')}
+        WHERE url_hash NOT IN (SELECT url_hash FROM {_rp('seen')})
+    """,
+    "q24_articles_current": f"""
+        SELECT url_canon, url_hash,
+               CAST(download_date AS VARCHAR) AS download_date,
+               length(article_text) AS text_len
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY url_hash
+                  ORDER BY download_date DESC, warc_ts DESC, url ASC) AS rn
+              FROM {_rp('articles_versions')})
+        WHERE rn = 1
+    """,
+    "q25_rss_compare": f"""
+        SELECT s.url_canon, s.url_hash, s.feed_host,
+               CAST(s.modified_date AS VARCHAR) AS modified_date
+        FROM {_rp('rss_snapshot')} s
+        LEFT JOIN (SELECT url_hash, download_date FROM {_rp('articles_current')}) c
+          USING (url_hash)
+        WHERE c.download_date IS NULL OR s.modified_date > c.download_date
+    """,
+    "q26_fetch_counters": f"""
+        SELECT fetch_round, count(*) AS n_scheduled,
+               CAST(sum(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+               count(DISTINCT host) AS n_hosts, max(rank_in_host) AS max_rank
+        FROM {_rp('fetch_log')} GROUP BY fetch_round
+    """,
+}
+
+
+# =====================================================================
+# Training-data ops over documents/embeddings (driver views)
+# =====================================================================
+
+
+def q30_dedup_exact(spark, sf_dir):
+    from newscrawler_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q31_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard pairs ≥ 0.5 (docs with ≥3 tokens on both
+    sides, mirroring the oracle's shingle construction)."""
+    from newscrawler_spark.operators.dedup import ngram_jaccard_pairs, tokens_expr
+
+    d = _t(spark, sf_dir, "documents").where(F.size(tokens_expr("text")) >= 3)
+    return ngram_jaccard_pairs(d, threshold=0.5)
+
+
+def q32_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (xxhash64-based — not SQL-expressible;
+    rows-only driver check, recall vs exact asserted in tests)."""
+    from newscrawler_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q33_simhash_groups(spark, sf_dir):
+    """SimHash equality groups (xxhash64-based; rows-only driver check)."""
+    from newscrawler_spark.operators.dedup import simhash_dup_groups
+
+    return simhash_dup_groups(_t(spark, sf_dir, "documents")).select(
+        "simhash", F.col("ids").cast("string").alias("ids"), "n"
+    )
+
+
+def q34_embedding_near_dups(spark, sf_dir):
+    from newscrawler_spark.operators.dedup import embedding_cosine_pairs
+
+    # testdata embeddings are diffuse (max pairwise cos ~0.3): 0.25 keeps
+    # the check non-trivial (~3k pairs at sf0.01)
+    return embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.25)
+
+
+def q35_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for the three smallest vec_ids."""
+    from newscrawler_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return brute_force_topk(emb, q, k=5)
+
+
+def q36_quality_stats(spark, sf_dir):
+    from newscrawler_spark.operators.textstats import quality_stats
+
+    return quality_stats(_t(spark, sf_dir, "documents"))
+
+
+def q37_langid(spark, sf_dir):
+    from newscrawler_spark.operators.textstats import langid
+
+    return langid(_t(spark, sf_dir, "documents"))
+
+
+def q38_fingerprint(spark, sf_dir):
+    from newscrawler_spark.operators.dedup import tokens_expr
+    from newscrawler_spark.operators.textstats import fingerprint
+
+    d = _t(spark, sf_dir, "documents").where(F.size(tokens_expr("text")) >= 5)
+    return fingerprint(d, n=5)
+
+
+def q39_token_stats(spark, sf_dir):
+    from newscrawler_spark.operators.textstats import token_count_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        token_count_expr("text").alias("n_tokens"),
+    )
+
+
+def q40_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing demo (stub kernels; rows-only driver check)."""
+    from newscrawler_spark.operators.multimodal import (
+        decode_media,
+        gen_fake_media,
+    )
+
+    media = gen_fake_media(spark, n=60)
+    return decode_media(media, fake=True)
+
+
+_TOKS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '')"
+
+
+def _shingle_cte(n: int) -> str:
+    joined = "||' '||".join(f"tk[i+{j}]" for j in range(n))
+    return f"""
+        WITH base AS (
+            SELECT doc_id, {_TOKS} AS tk FROM documents
+        ), elig AS (
+            SELECT doc_id, list_distinct(list_transform(
+                generate_series(1, len(tk) - {n - 1}), i -> {joined})) AS sh
+            FROM base WHERE len(tk) >= {n}
+        )
+    """
+
+
+TRAINING_ORACLES = {
+    "q30_dedup_exact": """
+        SELECT md5(text) AS content_md5, min(doc_id) AS keep_id,
+               count(*) AS n_dups
+        FROM documents GROUP BY md5(text)
+    """,
+    "q31_ngram_jaccard": _shingle_cte(3) + """
+        , posts AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM elig),
+        pairs AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2, a.n_sh AS n1, b.n_sh AS n2,
+                   count(*) AS shared
+            FROM posts a JOIN posts b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4)
+        SELECT id1, id2,
+               round(CAST(shared AS DOUBLE) / (n1 + n2 - shared), 6) AS jaccard
+        FROM pairs WHERE CAST(shared AS DOUBLE) / (n1 + n2 - shared) >= 0.5
+    """,
+    "q34_embedding_near_dups": """
+        SELECT a.vec_id AS id1, b.vec_id AS id2,
+               round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.25
+    """,
+    "q35_ann_topk": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                   ORDER BY vec_id LIMIT 3),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS cos
+            FROM embeddings e CROSS JOIN q),
+        ranked AS (
+            SELECT query_id, vec_id, round(cos, 6) AS cos, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+            FROM scored)
+        SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= 5
+    """,
+    "q38_fingerprint": _shingle_cte(5) + """
+        SELECT doc_id, list_min(list_transform(sh, s -> md5(s))) AS fingerprint
+        FROM elig
+    """,
+    "q39_token_stats": f"""
+        SELECT doc_id, length(text) AS n_chars_calc,
+               len({_TOKS}) AS n_tokens
+        FROM documents
+    """,
+}
+
+
+def _quality_oracle() -> str:
+    from newscrawler_spark.operators.textstats import STOPWORDS
+
+    stop = ", ".join(f"'{s}'" for s in STOPWORDS)
+    return f"""
+        WITH base AS (
+            SELECT doc_id, text, {_TOKS} AS tk, length(text) AS nc FROM documents
+        ), feats AS (
+            SELECT doc_id, nc, len(tk) AS ntok,
+                   len(list_filter(tk, t -> list_contains([{stop}], t))) AS nstop,
+                   nc - length(regexp_replace(text,
+                       '[\\.,;:!\\?\\(\\)\\[\\]"''«»—–-]', '', 'g')) AS npunct,
+                   nc - length(regexp_replace(text, '[A-Z]', '', 'g')) AS nupper
+            FROM base
+        )
+        SELECT doc_id, nc AS n_chars_calc, ntok AS n_tokens,
+               round(CASE WHEN ntok > 0 THEN CAST(nc AS DOUBLE)/ntok ELSE 0 END, 4)
+                   AS mean_token_len,
+               round(CASE WHEN nc > 0 THEN CAST(npunct AS DOUBLE)/nc ELSE 0 END, 4)
+                   AS punct_ratio,
+               round(CASE WHEN ntok > 0 THEN CAST(nstop AS DOUBLE)/ntok ELSE 0 END, 4)
+                   AS stopword_ratio,
+               round(CASE WHEN nc > 0 THEN CAST(nupper AS DOUBLE)/nc ELSE 0 END, 4)
+                   AS upper_ratio,
+               round(least(ntok/50.0, 1.0)*0.5
+                     + (1.0 - least(CASE WHEN nc>0 THEN CAST(npunct AS DOUBLE)/nc ELSE 0 END*5, 1.0))*0.25
+                     + (1.0 - least(CASE WHEN nc>0 THEN CAST(nupper AS DOUBLE)/nc ELSE 0 END*5, 1.0))*0.25, 4)
+                   AS quality_score
+        FROM feats
+    """
+
+
+def _langid_oracle() -> str:
+    from newscrawler_spark.operators.textstats import LANG_MARKERS
+
+    cols = []
+    for lang in sorted(LANG_MARKERS):
+        ms = LANG_MARKERS[lang]
+        if lang == "zh":
+            terms = " + ".join(
+                f"(length(lower(text)) - length(replace(lower(text), '{m}', '')))"
+                f" / {len(m)}"
+                for m in ms
+            )
+            cols.append(f"CAST({terms} AS INT) AS hits_{lang}")
+        else:
+            lst = ", ".join(f"'{m}'" for m in ms)
+            cols.append(
+                f"len(list_filter(tk, t -> list_contains([{lst}], t))) AS hits_{lang}"
+            )
+    langs = sorted(LANG_MARKERS)
+    best = "GREATEST(" + ", ".join(f"hits_{la}" for la in langs) + ")"
+    pick = "CASE " + " ".join(
+        f"WHEN hits_{la} = {best} THEN '{la}'" for la in langs
+    ) + " END"
+    return f"""
+        WITH base AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents),
+        hits AS (SELECT doc_id, {", ".join(cols)} FROM base)
+        SELECT doc_id, {pick} AS lang_pred, {best} AS lang_hits FROM hits
+    """
+
+
+TRAINING_ORACLES["q36_quality_stats"] = None  # filled lazily below
+TRAINING_ORACLES["q37_langid"] = None
+
+
+def all_queries():
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_top_customers": q02_top_customers,
+        "q03_order_rollup": q03_order_rollup,
+        "q04_parts_never_ordered": q04_parts_never_ordered,
+        "q05_customers_with_orders": q05_customers_with_orders,
+        "q06_latest_order_per_customer": q06_latest_order_per_customer,
+        "q07_supplier_nation_broadcast": q07_supplier_nation_broadcast,
+        "q08_order_set_ops": q08_order_set_ops,
+        "q09_scalar_functions": q09_scalar_functions,
+        "q10_events_rank_per_user": q10_events_rank_per_user,
+        "q11_doc_token_explode": q11_doc_token_explode,
+        "q20_canon_enrich": q20_canon_enrich,
+        "q21_frontier_rank": q21_frontier_rank,
+        "q22_robots_gate": q22_robots_gate,
+        "q23_seen_dedup": q23_seen_dedup,
+        "q24_articles_current": q24_articles_current,
+        "q25_rss_compare": q25_rss_compare,
+        "q26_fetch_counters": q26_fetch_counters,
+        "q30_dedup_exact": q30_dedup_exact,
+        "q31_ngram_jaccard": q31_ngram_jaccard,
+        "q32_minhash_lsh": q32_minhash_lsh,
+        "q33_simhash_groups": q33_simhash_groups,
+        "q34_embedding_near_dups": q34_embedding_near_dups,
+        "q35_ann_topk": q35_ann_topk,
+        "q36_quality_stats": q36_quality_stats,
+        "q37_langid": q37_langid,
+        "q38_fingerprint": q38_fingerprint,
+        "q39_token_stats": q39_token_stats,
+        "q40_multimodal_features": q40_multimodal_features,
+    }
+
+
+def all_oracles():
+    out = {}
+    out.update(RELATIONAL_ORACLES)
+    out.update(CRAWL_ORACLES)
+    out.update({k: v for k, v in TRAINING_ORACLES.items() if v})
+    out["q36_quality_stats"] = _quality_oracle()
+    out["q37_langid"] = _langid_oracle()
+    # q32/q33 (xxhash64-based) and q40 (stub kernels) are intentionally
+    # oracle-less → driver records rows-only checks
+    return out

@@ -20,16 +20,21 @@ from pyspark.sql import functions as F
 
 
 def dot_expr(a: Column, b: Column) -> Column:
+    # cast to double BEFORE multiplying: float32 products lose bits that
+    # can cross a rounding boundary vs a double-math oracle
+    ad = a.cast("array<double>")
+    bd = b.cast("array<double>")
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(ad, bd, lambda x, y: x * y),
         F.lit(0.0).cast("double"),
         lambda acc, v: acc + v,
     )
 
 
 def norm_expr(a: Column) -> Column:
+    ad = a.cast("array<double>")
     return F.sqrt(
-        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+        F.aggregate(ad, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
     )
 
 

@@ -1,0 +1,74 @@
+"""spark-submit CLI entry: argument plumbing + a real mini-run through
+jobs/crawl_job.py main() (same code path spark-submit executes)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from jobs.crawl_job import parse_args  # noqa: E402
+
+
+def test_parse_args():
+    a = parse_args([
+        "--pages", "/p", "--seeds", "/s", "--state-dir", "/d",
+        "--max-rounds", "7", "--per-host-budget", "3", "--no-bloom",
+    ])
+    assert (a.pages, a.seeds, a.state_dir) == ("/p", "/s", "/d")
+    assert a.max_rounds == 7 and a.per_host_budget == 3 and a.no_bloom
+
+
+@pytest.mark.slow
+def test_spark_submit_py_files_run(tmp_path):
+    """The north rule's ship path: zip the package, spark-submit --py-files,
+    crawl 2 rounds of the smoke corpus, assert the JSON summary."""
+    import shutil
+
+    from newscrawler_spark.contract import _p, ensure_cache
+    from newscrawler_spark.session import get_spark
+
+    # corpus parquet via the session fixture cache
+    spark = get_spark(master="local[2]", shuffle_partitions=2,
+                      app_name="cli-prep")
+    ensure_cache(spark, "smoke")
+    pages_path = _p("smoke", "pages")
+    spark.stop()
+
+    seeds_path = str(tmp_path / "seeds.parquet")
+    spark = get_spark(master="local[2]", shuffle_partitions=2,
+                      app_name="cli-prep2")
+    from newscrawler_spark.sources.fixtures import seeds_df
+
+    seeds_df(spark, "smoke", per_host_budget=10).write.mode("overwrite").parquet(seeds_path)
+    spark.stop()
+
+    zip_path = str(tmp_path / "newscrawler_spark.zip")
+    shutil.make_archive(zip_path[:-4], "zip", "/root/repo", "newscrawler_spark")
+    state_dir = str(tmp_path / "state")
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+    out = subprocess.run(
+        [
+            spark_submit, "--master", "local[4]",
+            "--py-files", zip_path,
+            "jobs/crawl_job.py",
+            "--pages", pages_path, "--seeds", seeds_path,
+            "--state-dir", state_dir, "--max-rounds", "2",
+            "--per-host-budget", "10",
+        ],
+        cwd="/root/repo", capture_output=True, text=True, timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    summary = json.loads(line)
+    assert summary["rounds_run"] == 2
+    assert summary["urls_fetched"] > 0
