@@ -37,6 +37,13 @@ class CrawlConfig:
     # mini-oracle.
     round_seconds: float = 10.0
 
+    # A3 fetch join strategy: broadcast the (bounded) candidate set so the
+    # huge pages table is STREAMED, never shuffled — a round's candidates
+    # are ≤ hosts×budget (or batch_size) rows. On a real cluster with a
+    # url_hash-bucketed pages table, set False to use the shuffle-free
+    # bucketed sort-merge join instead (candidates >100M won't broadcast).
+    broadcast_fetch_join: bool = True
+
     # scale path (J / §5.3)
     hot_host_threshold: int = 50_000  # rows/host above which we salt
     salt_buckets: int = 8

@@ -88,3 +88,58 @@ def rss_items(pages_enriched: DataFrame) -> DataFrame:
         | F.col("url_canon").contains("/rss")
     ).select("host", "url", "html")
     return feeds.mapInPandas(_rss_batches, schema=RSS_ITEM_SCHEMA)
+
+
+def auto_select_crawlers(pages_enriched: DataFrame, seeds: DataFrame) -> DataFrame:
+    """C3 — spider auto-selection, relationally.
+
+    ≙ the reference's per-spider ``supports_site(url)`` probes chosen in
+    ``single_crawler.py`` (symbol cite; mount empty, SURVEY.md §0):
+    robots declares a sitemap → 'recursive_sitemap'; homepage advertises
+    an RSS alternate link → 'rss'; else → 'recursive'. Seeds whose
+    ``crawler`` is already set keep it; NULL/'auto' rows get the probe
+    result. Pure joins over tiny per-host probe tables (broadcast).
+    """
+    from newscrawler_spark.functions.discover_core import find_rss_link
+    from newscrawler_spark.functions.extract_core import decode_html
+    from newscrawler_spark.operators.robots import robots_sitemaps
+
+    sm_hosts = (
+        robots_sitemaps(pages_enriched)
+        .select("host").distinct()
+        .withColumn("__has_sitemap", F.lit(True))
+    )
+
+    def rss_probe(it):
+        for pdf in it:
+            rows = []
+            for host, url, blob in zip(pdf["host"], pdf["url"], pdf["html"]):
+                if find_rss_link(decode_html(blob), url):
+                    rows.append((host,))
+            yield pd.DataFrame(rows, columns=["host"])
+
+    homepages = pages_enriched.where(
+        F.col("url_canon").rlike(r"^https?://[^/]+/$")
+    ).select("host", "url", "html")
+    rss_hosts = (
+        homepages.mapInPandas(rss_probe, schema="host string")
+        .distinct()
+        .withColumn("__has_rss", F.lit(True))
+    )
+
+    out = (
+        seeds.join(F.broadcast(sm_hosts), "host", "left")
+        .join(F.broadcast(rss_hosts), "host", "left")
+        .withColumn(
+            "crawler",
+            F.when(
+                F.col("crawler").isNotNull() & (F.col("crawler") != "auto"),
+                F.col("crawler"),
+            )
+            .when(F.col("__has_rss"), F.lit("rss"))
+            .when(F.col("__has_sitemap"), F.lit("recursive_sitemap"))
+            .otherwise(F.lit("recursive")),
+        )
+        .drop("__has_sitemap", "__has_rss")
+    )
+    return out

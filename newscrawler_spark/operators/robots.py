@@ -107,33 +107,41 @@ def robots_gate(
         .where(F.col("path_prefix") != "")  # delay-only marker rows don't match
     )
 
-    grp = grp.select(
-        F.col("host").alias("__rhost"), "path_prefix", "allow", "rule_order"
+    # SHUFFLE-FREE form: fold each host's rules into one array row, bring
+    # it to the frontier row via a broadcast equi-join (no exchange), and
+    # decide longest-prefix/Allow-wins with scalar array expressions —
+    # the join+window formulation costs a full shuffle per gate call.
+    rules_by_host = grp.groupBy(F.col("host").alias("__rhost")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("path_prefix").alias("p"),
+                F.col("allow").alias("a"),
+                F.col("rule_order").alias("o"),
+            )
+        ).alias("__rules")
     )
-    # gate each INPUT ROW independently (duplicate url_hash rows may carry
-    # different priorities pre-dedup — don't collapse them). The window
-    # partitions on the full row identity instead of a generated row id:
-    # monotonically_increasing_id() marks the plan nondeterministic, which
-    # poisons every downstream re-execution (branches of a union may then
-    # legally disagree). Rows identical in ALL identity columns are
-    # indistinguishable, so collapsing those is harmless.
     fr = frontier.withColumn("__path", url_path_expr("url_canon"))
-    identity_cols = [c for c in frontier.columns]
+    identity_cols = list(frontier.columns)
     joined = fr.join(
-        F.broadcast(grp),
-        (fr["host"] == grp["__rhost"]) & fr["__path"].startswith(grp["path_prefix"]),
-        "left",
-    ).drop("__rhost")
-
-    w = Window.partitionBy(*identity_cols).orderBy(
-        F.desc(F.length("path_prefix")),
-        F.desc("allow"),          # length tie → Allow wins
-        F.asc("rule_order"),
+        F.broadcast(rules_by_host), fr["host"] == F.col("__rhost"), "left"
+    )
+    matched = F.filter(
+        F.coalesce(F.col("__rules"), F.array()),
+        lambda r: F.col("__path").startswith(r["p"]),
+    )
+    # max by (prefix length, allow): longest prefix wins; on a length tie
+    # allow=true > allow=false (struct comparison is lexicographic)
+    best = F.array_max(
+        F.transform(
+            matched,
+            lambda r: F.struct(
+                F.length(r["p"]).alias("l"), r["a"].alias("a")
+            ),
+        )
     )
     return (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .where(F.col("allow").isNull() | F.col("allow"))  # no match → allowed
+        joined.withColumn("__best", best)
+        .where(F.col("__best").isNull() | F.col("__best")["a"])  # no match → allowed
         .select(identity_cols)
     )
 

@@ -60,6 +60,18 @@ COUNTERS_SCHEMA = (
 )
 
 
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footers (pyarrow, driver-side) — a Spark
+    count() job per table per round is pure scheduler overhead."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for name in os.listdir(path):
+        if name.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(path, name)).metadata.num_rows
+    return total
+
+
 class CrawlState:
     """Parquet+manifest backend of the crawl-state tables."""
 
@@ -115,7 +127,7 @@ class CrawlState:
         for name, df in tables.items():
             path = os.path.join(rd, name)
             df.write.mode("overwrite").parquet(path)
-            counts[name] = self.spark.read.parquet(path).count()
+            counts[name] = _parquet_rows(path)
         man = {
             "run_id": self.run_id,
             "round": r,

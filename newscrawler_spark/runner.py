@@ -125,6 +125,7 @@ def run_crawl(
     max_rounds: int = 50,
     run_id: str = "run",
     use_bloom: bool | None = None,
+    extra_frontier: DataFrame | None = None,
 ) -> CrawlResult:
     """EP1 — full crawl (resumes automatically from the last committed
     round in ``state_dir``; see tests/test_resume.py)."""
@@ -142,14 +143,23 @@ def run_crawl(
     seeds_e = FR.enrich_urls(seeds, "seed_url")
     robots_rules = build_robots_rules_cached(spark, pages_e, state_dir)
     delays = R.host_crawl_delays(robots_rules, cfg.user_agent)
-    budgets = build_host_budgets(seeds, delays, cfg)
+    # Round-invariant dimension tables are LOCALIZED (collected once,
+    # re-created as local relations): otherwise every per-round broadcast
+    # re-executes their whole derivation DAG as a separate subjob — the
+    # event-log profile showed those broadcast stages dominating round
+    # wall time. All are O(#seed hosts) rows by construction.
+    budgets = _localize(spark, build_host_budgets(seeds, delays, cfg))
 
     if last is None:
-        boot = FR.dedup_in_batch(
-            _seed_frontier(seeds_e).unionByName(
-                _sitemap_frontier(R.robots_sitemaps(pages_e), seeds)
-            )
+        boot = _seed_frontier(seeds_e).unionByName(
+            _sitemap_frontier(R.robots_sitemaps(pages_e), seeds)
         )
+        if extra_frontier is not None:
+            # A7 bulk/download-list mode: pre-seed the frontier with an
+            # explicit URL list (frontier-shaped, see sinks.download_list_
+            # frontier) — the reference's DownloadCrawler at corpus scale
+            boot = boot.unionByName(extra_frontier.select(*FR.FRONTIER_COLS))
+        boot = FR.dedup_in_batch(boot)
         if cfg.respect_robots:
             boot = R.robots_gate(boot, robots_rules, cfg.user_agent)
         empty_articles = spark.createDataFrame([], ARTICLES_SCHEMA)
@@ -159,9 +169,17 @@ def run_crawl(
                            empty_articles, empty_counters)
         last = 0
 
-    seed_crawlers = seeds.select(
-        F.col("host").alias("seed_host"), "crawler", "max_depth"
+    seed_crawlers = _localize(
+        spark,
+        seeds.select(F.col("host").alias("seed_host"), "crawler", "max_depth"),
     )
+    if cfg.respect_robots:
+        # bounded collect: rule tables beyond ~200k rows (10^5+ hosts)
+        # stay distributed — their broadcast subjob is then worth paying
+        from newscrawler_spark.operators.store import _parquet_rows
+
+        if _parquet_rows(f"{state_dir}/robots_rules") <= 200_000:
+            robots_rules = _localize(spark, robots_rules)
 
     rounds_run = 0
     r = last
@@ -176,12 +194,26 @@ def run_crawl(
         # ---- B7/B8: schedule this round's candidates
         cand = FR.schedule_round(frontier, cfg, budgets).drop("budget")
 
-        # ---- A3: "fetch" = corpus join on url_hash (hash join / AQE)
+        # ---- A3: "fetch" = corpus join on url_hash. The candidate set is
+        # bounded (hosts×budget / batch_size) so it broadcasts and the
+        # pages table is STREAMED — a plain left join SMJ would shuffle
+        # the whole corpus (html bytes included) EVERY round. Misses
+        # (404s) are recovered with a cheap anti-join on the small side.
+        cand = cand.persist()
         page_cols = pages_e.select(
             "url_hash", F.col("url").alias("page_url"), "warc_ts", "html", "lang"
         )
+        cand_side = F.broadcast(cand) if cfg.broadcast_fetch_join else cand
+        hit = page_cols.join(cand_side, "url_hash").persist()
+        miss = (
+            cand.join(hit.select("url_hash"), "url_hash", "left_anti")
+            .withColumn("page_url", F.lit(None).cast("string"))
+            .withColumn("warc_ts", F.lit(None).cast("timestamp"))
+            .withColumn("html", F.lit(None).cast("binary"))
+            .withColumn("lang", F.lit(None).cast("string"))
+        )
         fetched = (
-            cand.join(page_cols, "url_hash", "left")
+            hit.unionByName(miss.select(hit.columns))
             .join(F.broadcast(seed_crawlers), "seed_host", "left")
             .withColumn("crawler", F.coalesce("crawler", F.lit(cfg.default_crawler)))
             .withColumn(
@@ -236,7 +268,6 @@ def run_crawl(
         # persist the per-round outputs: each feeds BOTH the commit write
         # and a counter, and fetch_log/children sit above Arrow UDF stages
         # — without this every count() would re-run extraction/discovery
-        ok = ok.persist()
         fetch_log = fetch_log.persist()
         children = children.persist()
         articles = articles.persist()
@@ -250,12 +281,16 @@ def run_crawl(
             .unionByName(retries.select(*FR.FRONTIER_COLS))
         )
 
-        # ---- counters (B/J metrics; wall_ms stamped after the commit)
-        n_sched = fetch_log.count()
-        n_ok = fetch_log.where(F.col("status") == 200).count()
+        # ---- counters (B/J metrics; one agg job per persisted frame)
+        log_stats = fetch_log.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("ok"),
+        ).first()
+        n_sched = log_stats.n
+        n_ok = log_stats.ok or 0
         n_children = children.count()
         n_articles = articles.count()
-        n_bytes = ok.agg(F.sum(F.length("html"))).collect()[0][0] or 0
+        n_bytes = hit.agg(F.sum(F.length("html"))).collect()[0][0] or 0
 
         counters = spark.createDataFrame(
             [
@@ -271,13 +306,23 @@ def run_crawl(
         state.commit_round(
             r, new_frontier, children.select("url_hash"), fetch_log, articles, counters
         )
-        for df in (ok, fetch_log, children, articles, gated_children):
+        for df in (cand, hit, fetch_log, children, articles, gated_children):
             df.unpersist()
         rounds_run += 1
         if n_sched == 0:
             break
 
     return CrawlResult(state=state, rounds_run=rounds_run, final_round=r)
+
+
+def _localize(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Collect a small dimension DataFrame and rebuild it as a local
+    relation — per-query broadcasts then ship bytes instead of
+    re-executing the derivation DAG. Only for tables bounded by the seed
+    list (at 10^7+ hosts keep the distributed form and accept the subjob,
+    or persist to parquet)."""
+    rows = df.collect()
+    return spark.createDataFrame(rows, df.schema)
 
 
 def build_robots_rules_cached(

@@ -59,6 +59,9 @@ TIERS = {
     "smoke": Tier(hosts=10, articles_per_host=40),
     "correctness": Tier(hosts=25, articles_per_host=160),
     "bench": Tier(hosts=50, articles_per_host=2000, hot_hosts=2),
+    # scaling-evidence tier: ~1.25M pages so the Arrow extract/discover
+    # compute dominates fixed orchestration cost (BENCH/BASELINE.md)
+    "benchxl": Tier(hosts=50, articles_per_host=20000, hot_hosts=2),
 }
 
 _WORDS_EN = (

@@ -57,3 +57,7 @@ def smoke_pages_e(spark, smoke_pages):
     from newscrawler_spark.runner import enrich_pages
 
     return enrich_pages(smoke_pages).cache()
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running end-to-end tests")

@@ -26,28 +26,22 @@ def test_parse_args():
 
 
 @pytest.mark.slow
-def test_spark_submit_py_files_run(tmp_path):
+def test_spark_submit_py_files_run(spark, tmp_path):
     """The north rule's ship path: zip the package, spark-submit --py-files,
-    crawl 2 rounds of the smoke corpus, assert the JSON summary."""
+    crawl 2 rounds of the smoke corpus, assert the JSON summary.
+
+    Prep uses the SHARED session fixture — getOrCreate() would return (and
+    stopping it would kill) the same session regardless of master.
+    """
     import shutil
 
     from newscrawler_spark.contract import _p, ensure_cache
-    from newscrawler_spark.session import get_spark
-
-    # corpus parquet via the session fixture cache
-    spark = get_spark(master="local[2]", shuffle_partitions=2,
-                      app_name="cli-prep")
-    ensure_cache(spark, "smoke")
-    pages_path = _p("smoke", "pages")
-    spark.stop()
-
-    seeds_path = str(tmp_path / "seeds.parquet")
-    spark = get_spark(master="local[2]", shuffle_partitions=2,
-                      app_name="cli-prep2")
     from newscrawler_spark.sources.fixtures import seeds_df
 
+    ensure_cache(spark, "smoke")
+    pages_path = _p("smoke", "pages")
+    seeds_path = str(tmp_path / "seeds.parquet")
     seeds_df(spark, "smoke", per_host_budget=10).write.mode("overwrite").parquet(seeds_path)
-    spark.stop()
 
     zip_path = str(tmp_path / "newscrawler_spark.zip")
     shutil.make_archive(zip_path[:-4], "zip", "/root/repo", "newscrawler_spark")

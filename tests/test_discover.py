@@ -123,3 +123,25 @@ def test_rss_items_table(spark, smoke_pages_e):
         "host00.example", "host03.example", "host06.example", "host09.example"
     }
     assert all(r.rss_title and r.link for r in items)
+
+
+def test_auto_select_crawlers(spark, smoke_pages_e, smoke_seeds):
+    from pyspark.sql import functions as F
+
+    from newscrawler_spark.operators.discover import auto_select_crawlers
+
+    auto = smoke_seeds.withColumn("crawler", F.lit("auto"))
+    got = {r.host: r.crawler for r in auto_select_crawlers(smoke_pages_e, auto).collect()}
+    # rss hosts: 0,3,6,9 (homepage advertises the feed)
+    assert got["host00.example"] == "rss"
+    assert got["host03.example"] == "rss"
+    # sitemap-but-no-rss hosts (even, not div by 3): 2,4,8
+    assert got["host02.example"] == "recursive_sitemap"
+    assert got["host04.example"] == "recursive_sitemap"
+    # odd non-rss hosts: plain recursive
+    assert got["host01.example"] == "recursive"
+    assert got["host05.example"] == "recursive"
+    # explicit choices survive
+    kept = auto_select_crawlers(smoke_pages_e, smoke_seeds).collect()
+    orig = {r.host: r.crawler for r in smoke_seeds.collect()}
+    assert {r.host: r.crawler for r in kept} == orig
