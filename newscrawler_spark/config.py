@@ -43,6 +43,11 @@ class CrawlConfig:
     # url_hash-bucketed pages table, set False to use the shuffle-free
     # bucketed sort-merge join instead (candidates >100M won't broadcast).
     broadcast_fetch_join: bool = True
+    # materialize each round's fetched set to scratch parquet instead of
+    # a JVM cache. Default off: the cache is faster when it fits (locally
+    # measured); turn on when a round's html payload outsizes executor
+    # memory (compression + column pruning beat cache eviction there).
+    scratch_fetched: bool = False
 
     # scale path (J / §5.3)
     hot_host_threshold: int = 50_000  # rows/host above which we salt

@@ -111,23 +111,33 @@ class CrawlState:
         seen_delta: DataFrame,
         fetch_log: DataFrame,
         articles_delta: DataFrame,
-        counters: DataFrame,
+        counters: DataFrame | None = None,
+        counters_builder=None,
     ) -> dict:
         """One transactional checkpoint (A11/G2): all tables land under
-        ``round=r/``, then the manifest is renamed into place LAST."""
+        ``round=r/``, then the manifest is renamed into place LAST.
+
+        ``counters_builder(counts) -> DataFrame`` lets the caller derive
+        the metrics row from the footer row-counts of the just-written
+        tables — zero extra Spark jobs (vs one count() job per metric).
+        """
         rd = self._round_dir(r)
         tables = {
             "frontier": frontier,
             "seen_delta": seen_delta.select("url_hash"),
             "fetch_log": fetch_log,
             "articles_delta": articles_delta,
-            "counters": counters,
         }
         counts = {}
         for name, df in tables.items():
             path = os.path.join(rd, name)
             df.write.mode("overwrite").parquet(path)
             counts[name] = _parquet_rows(path)
+        if counters is None:
+            counters = counters_builder(counts)
+        cpath = os.path.join(rd, "counters")
+        counters.write.mode("overwrite").parquet(cpath)
+        counts["counters"] = _parquet_rows(cpath)
         man = {
             "run_id": self.run_id,
             "round": r,

@@ -204,7 +204,14 @@ def run_crawl(
             "url_hash", F.col("url").alias("page_url"), "warc_ts", "html", "lang"
         )
         cand_side = F.broadcast(cand) if cfg.broadcast_fetch_join else cand
-        hit = page_cols.join(cand_side, "url_hash").persist()
+        # fetched set: JVM cache by default; scratch parquet when a
+        # round's html payload outsizes executor memory (cfg flag)
+        scratch = f"{state_dir}/scratch_round"
+        if cfg.scratch_fetched:
+            page_cols.join(cand_side, "url_hash").write.mode("overwrite").parquet(scratch)
+            hit = spark.read.parquet(scratch)
+        else:
+            hit = page_cols.join(cand_side, "url_hash").persist()
         miss = (
             cand.join(hit.select("url_hash"), "url_hash", "left_anti")
             .withColumn("page_url", F.lit(None).cast("string"))
@@ -281,32 +288,41 @@ def run_crawl(
             .unionByName(retries.select(*FR.FRONTIER_COLS))
         )
 
-        # ---- counters (B/J metrics; one agg job per persisted frame)
-        log_stats = fetch_log.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.when(F.col("status") == 200, 1).otherwise(0)).alias("ok"),
+        # ---- counters: one Spark agg job (n_ok + bytes off the cached
+        # fetched set); every row count comes free from the parquet
+        # footers of the committed tables via counters_builder
+        ok_stats = hit.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.length("html")).alias("b")
         ).first()
-        n_sched = log_stats.n
-        n_ok = log_stats.ok or 0
-        n_children = children.count()
-        n_articles = articles.count()
-        n_bytes = hit.agg(F.sum(F.length("html"))).collect()[0][0] or 0
 
-        counters = spark.createDataFrame(
-            [
-                (
-                    run_id, r, n_sched + n_children, n_children, n_sched, n_ok,
-                    n_articles, int(n_bytes),
-                    int((time.monotonic() - t0) * 1000),
-                )
-            ],
-            COUNTERS_SCHEMA,
-        )
+        def build_counters(counts: dict):
+            n_sched = counts["fetch_log"]
+            n_children = counts["seen_delta"]
+            return spark.createDataFrame(
+                [
+                    (
+                        run_id, r, n_sched + n_children, n_children, n_sched,
+                        ok_stats.n, counts["articles_delta"],
+                        int(ok_stats.b or 0),
+                        int((time.monotonic() - t0) * 1000),
+                    )
+                ],
+                COUNTERS_SCHEMA,
+            )
 
-        state.commit_round(
-            r, new_frontier, children.select("url_hash"), fetch_log, articles, counters
+        man = state.commit_round(
+            r, new_frontier, children.select("url_hash"), fetch_log, articles,
+            counters_builder=build_counters,
         )
-        for df in (cand, hit, fetch_log, children, articles, gated_children):
+        n_sched = man["row_counts"]["fetch_log"]
+        frames = [cand, fetch_log, children, articles, gated_children]
+        if cfg.scratch_fetched:
+            import shutil as _shutil
+
+            _shutil.rmtree(scratch, ignore_errors=True)
+        else:
+            frames.append(hit)
+        for df in frames:
             df.unpersist()
         rounds_run += 1
         if n_sched == 0:
