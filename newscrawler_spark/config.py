@@ -43,6 +43,9 @@ class CrawlConfig:
     # url_hash-bucketed pages table, set False to use the shuffle-free
     # bucketed sort-merge join instead (candidates >100M won't broadcast).
     broadcast_fetch_join: bool = True
+    # ONE Arrow pass for stats+extraction+links (operators/process.py)
+    # instead of three html transfers; False = the unfused operator chain
+    fused_pipeline: bool = True
     # materialize each round's fetched set to scratch parquet instead of
     # a JVM cache. Default off: the cache is faster when it fits (locally
     # measured); turn on when a round's html payload outsizes executor

@@ -61,14 +61,39 @@ def classify_page(url: str, body: str) -> str:
     return "html"
 
 
+_ORIGIN_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*):(//[^/?#]*)")
+
+
+def _absolutize(base_url: str, href: str, origin_cache: list) -> str:
+    """urljoin fast path: absolute / root-relative / protocol-relative
+    hrefs (the overwhelming majority on real pages) resolve with string
+    ops; anything else falls back to urllib's urljoin. Profiling showed
+    urljoin as the single biggest cost of the fused page pass."""
+    if href.startswith(("http://", "https://")):
+        return href
+    if not origin_cache:
+        m = _ORIGIN_RE.match(base_url)
+        origin_cache.append((m.group(1), m.group(2)) if m else None)
+    og = origin_cache[0]
+    if og is None:
+        return urljoin(base_url, href)
+    scheme, netpart = og
+    if href.startswith("//"):
+        return f"{scheme}:{href}"
+    if href.startswith("/"):
+        return f"{scheme}:{netpart}{href}"
+    return urljoin(base_url, href)
+
+
 def extract_links(body: str, base_url: str) -> list[str]:
     """C1 — ``<a href>`` absolutized, http(s) only, document order, deduped."""
     out: list[str] = []
     seen: set[str] = set()
+    origin_cache: list = []
     for href in _A_HREF_RE.findall(body):
         if href.startswith(("javascript:", "mailto:", "#")):
             continue
-        absu = urljoin(base_url, href)
+        absu = _absolutize(base_url, href, origin_cache)
         if not absu.startswith(("http://", "https://")):
             continue
         if absu not in seen:

@@ -105,3 +105,39 @@ def compile_condition(cfg: CrawlConfig) -> Column:
 def article_gate(with_stats: DataFrame, cfg: CrawlConfig) -> DataFrame:
     """Keep pages the condition accepts (candidate articles)."""
     return with_stats.where(compile_condition(cfg))
+
+
+def make_condition_py(cfg: CrawlConfig):
+    """Pure-Python twin of :func:`compile_condition` — compiled ONCE to a
+    code object, evaluated per page against a tiny env dict. Used inside
+    the fused Arrow pass to skip extraction work for pages the Catalyst
+    gate will reject anyway. Exactly consistent: the same boolean /
+    IEEE-double comparisons on the same values."""
+    expr = cfg.heuristics_condition
+    for name in set(_NAME_RE.findall(expr)):
+        if name not in _ALLOWED_BARE:
+            raise ValueError(f"unknown heuristic in condition: {name!r}")
+    py = re.sub(r"\bAND\b", "and", expr)
+    py = re.sub(r"\bOR\b", "or", py)
+    py = re.sub(r"\bNOT\b", "not", py)
+    py = py.replace("true", "True").replace("false", "False")
+    code = compile(py, "<heuristics_condition>", "eval")
+    lt, st = cfg.linked_headlines_max_ratio, cfg.self_linked_headlines_max_ratio
+
+    def evaluate(stats: dict, crawler: str) -> bool:
+        env = {
+            "og_type": stats["og_type"],
+            "linked_headlines": stats["linked_headline_ratio"] <= lt,
+            "self_linked_headlines": stats["self_linked_headline_ratio"] <= st,
+            "is_not_from_subdomain": stats["is_not_from_subdomain"],
+            "meta_contains_article_keywords": stats["meta_contains_article_keywords"],
+            "crawler_contains_only_article_alikes": crawler in ("rss", "download"),
+        }
+        return bool(eval(code, {"__builtins__": {}}, env))  # noqa: S307
+
+    return evaluate
+
+
+def eval_condition_py(cfg: CrawlConfig, stats: dict, crawler: str) -> bool:
+    """One-shot convenience wrapper around :func:`make_condition_py`."""
+    return make_condition_py(cfg)(stats, crawler)

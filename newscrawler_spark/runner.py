@@ -240,19 +240,30 @@ def run_crawl(
 
         ok = fetched.where(F.col("status") == 200)
 
-        # ---- D: one Arrow stats pass + Catalyst-compiled gate
-        with_stats = H.with_page_stats(
-            ok.select("url", "url_canon", "url_hash", "warc_ts", "html", "lang", "crawler")
-        )
-        gated = H.article_gate(with_stats, cfg)
+        if cfg.fused_pipeline:
+            # ---- D+E+C fused: ONE Arrow pass (stats, article record,
+            # links) — html crosses to Python exactly once per round
+            from newscrawler_spark.operators import process as P
 
-        # ---- E: extraction (gate-passers only)
-        articles = extract_articles(gated)
+            processed = P.process_pages(ok, cfg).persist()
+            articles = P.articles_from_processed(processed, cfg)
+            children = P.children_from_processed(processed, r - 1)
+        else:
+            processed = None
+            # ---- D: one Arrow stats pass + Catalyst-compiled gate
+            with_stats = H.with_page_stats(
+                ok.select("url", "url_canon", "url_hash", "warc_ts", "html",
+                          "lang", "crawler")
+            )
+            gated = H.article_gate(with_stats, cfg)
 
-        # ---- C1/A5/A6: discovery → B4/B6/B9/B3 filters
-        children = D.discover_children(
-            ok.select("url", "html", "crawler", "depth", "seed_host"), r - 1
-        )
+            # ---- E: extraction (gate-passers only)
+            articles = extract_articles(gated)
+
+            # ---- C1/A5/A6: discovery → B4/B6/B9/B3 filters
+            children = D.discover_children(
+                ok.select("url", "html", "crawler", "depth", "seed_host"), r - 1
+            )
         children = FR.enrich_urls(children)
         children = children.where(F.col("host") == F.col("seed_host"))  # B4
         children = children.join(F.broadcast(seed_crawlers), "seed_host", "left").where(
@@ -316,6 +327,8 @@ def run_crawl(
         )
         n_sched = man["row_counts"]["fetch_log"]
         frames = [cand, fetch_log, children, articles, gated_children]
+        if processed is not None:
+            frames.append(processed)
         if cfg.scratch_fetched:
             import shutil as _shutil
 
