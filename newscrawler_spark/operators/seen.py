@@ -138,3 +138,51 @@ def bloom_dedup(links: DataFrame, seen: DataFrame, cfg: CrawlConfig) -> DataFram
     fresh = tagged.where(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = tagged.where(F.col("maybe_seen")).drop("maybe_seen")
     return fresh.unionByName(dedup_against_seen(maybe, seen))
+
+
+def update_bloom_shards(
+    old_shards: DataFrame, delta: DataFrame, cfg: CrawlConfig
+) -> DataFrame:
+    """Fold a new url_hash delta into existing shards — the 10^10-scale
+    maintenance path: per round this touches O(|delta|) keys and OR-writes
+    the affected buckets, instead of rebuilding from the full seen set
+    (O(|seen|) reads per round ⇒ quadratic over a crawl's lifetime).
+
+    Bucket bitset sizes are frozen at first build; ``n_keys`` tracks
+    saturation so callers can schedule a full rebuild (standard doubling
+    rule: rebuild when n_keys * bits_per_key > 2m — the engine stays
+    correct regardless, because Bloom positives are exact-confirmed).
+    """
+    bpk = cfg.bloom_bits_per_key
+    k_default = _n_hashes(bpk)
+
+    def merge(old: pd.DataFrame, new: pd.DataFrame) -> pd.DataFrame:
+        if new.empty:
+            return old[["bucket", "bits", "m", "k", "n_keys"]]
+        hashes = new["url_hash"].to_numpy(dtype=np.int64)
+        if old.empty:
+            bucket = int(new["bucket"].iloc[0])
+            m = max(64, int(len(hashes) * bpk))
+            k = k_default
+            bits = np.zeros(m, dtype=bool)
+            n0 = 0
+        else:
+            bucket = int(old["bucket"].iloc[0])
+            m = int(old["m"].iloc[0])
+            k = int(old["k"].iloc[0])
+            bits = np.unpackbits(
+                np.frombuffer(old["bits"].iloc[0], dtype=np.uint8)
+            ).astype(bool)[:m]
+            n0 = int(old["n_keys"].iloc[0])
+        bits[_positions(hashes, m, k).ravel()] = True
+        return pd.DataFrame(
+            [(bucket, np.packbits(bits).tobytes(), m, k, n0 + len(hashes))],
+            columns=["bucket", "bits", "m", "k", "n_keys"],
+        )
+
+    d = delta.select("url_hash").withColumn("bucket", _bucket_expr(cfg))
+    return (
+        old_shards.groupBy("bucket")
+        .cogroup(d.groupBy("bucket"))
+        .applyInPandas(merge, schema=SHARD_SCHEMA)
+    )

@@ -101,3 +101,32 @@ def test_positions_pure_numpy_shapes():
     pos = _positions(h, 1024, k)
     assert pos.shape == (4, k)
     assert pos.min() >= 0 and pos.max() < 1024
+
+
+def test_incremental_update_equals_rebuild(spark, big_sets):
+    """OR-folding deltas into existing shards must behave exactly like a
+    probe structure over the union: zero false negatives on all keys and
+    final dedup equal to the exact anti-join."""
+    from newscrawler_spark.operators.seen import update_bloom_shards
+
+    seen_h, link_h = big_sets
+    first, second = seen_h[:2500], seen_h[2500:]
+    s1 = build_bloom_shards(_seen_df(spark, first), CFG)
+    s2 = update_bloom_shards(s1, _seen_df(spark, second), CFG)
+
+    # no false negatives over the UNION of both deltas
+    probed = bloom_split(_links_df(spark, seen_h), s2, CFG).collect()
+    assert all(r.maybe_seen for r in probed)
+    # n_keys accounting
+    total = sum(r.n_keys for r in s2.collect())
+    assert total == len(first) + len(second)
+    # empty delta is a no-op
+    s3 = update_bloom_shards(s2, spark.createDataFrame([], "url_hash long"), CFG)
+    a = {(r.bucket, bytes(r.bits), r.m, r.k, r.n_keys) for r in s2.collect()}
+    b = {(r.bucket, bytes(r.bits), r.m, r.k, r.n_keys) for r in s3.collect()}
+    assert a == b
+    # new bucket appearing only in the delta gets a fresh shard
+    extra = [h for h in range(100, 200)]
+    s4 = update_bloom_shards(s1, _seen_df(spark, extra), CFG)
+    probed4 = bloom_split(_links_df(spark, extra), s4, CFG).collect()
+    assert all(r.maybe_seen for r in probed4)
