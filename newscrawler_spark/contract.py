@@ -579,20 +579,26 @@ def q31_ngram_jaccard(spark, sf_dir):
 
 
 def q32_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup pairs (xxhash64-based — not SQL-expressible;
-    rows-only driver check, recall vs exact asserted in tests)."""
+    """MinHash+LSH near-dup pairs, md5-parameterized so the DuckDB oracle
+    reproduces the exact banded candidate set + Jaccard verify (two-sided
+    check; the xxhash64 default engine path is recall-tested in
+    tests/test_dedup.py against this same operator)."""
     from newscrawler_spark.operators.dedup import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, hasher="md5"
+    )
 
 
 def q33_simhash_groups(spark, sf_dir):
-    """SimHash equality groups (xxhash64-based; rows-only driver check)."""
+    """SimHash equality groups over the md5-parameterized 60-bit signature
+    (DuckDB-reproducible; the xxhash64/64-bit default is tested in
+    tests/test_dedup.py)."""
     from newscrawler_spark.operators.dedup import simhash_dup_groups
 
-    return simhash_dup_groups(_t(spark, sf_dir, "documents")).select(
-        "simhash", F.col("ids").cast("string").alias("ids"), "n"
-    )
+    return simhash_dup_groups(
+        _t(spark, sf_dir, "documents"), bits=60, hasher="md5"
+    ).select("simhash", F.col("ids").cast("string").alias("ids"), "n")
 
 
 def q34_embedding_near_dups(spark, sf_dir):
@@ -646,7 +652,11 @@ def q39_token_stats(spark, sf_dir):
 
 
 def q40_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing demo (stub kernels; rows-only driver check)."""
+    """Multimodal decode plumbing: Arrow-batched mapInPandas over binary
+    blobs with the md5-arithmetic fake kernel — the DuckDB oracle
+    regenerates the same media table (generate_series + repeat(md5(..)))
+    and recomputes every derived field, so the whole decode contract
+    (schema, batching, kernel determinism) is two-sided-checked."""
     from newscrawler_spark.operators.multimodal import (
         decode_media,
         gen_fake_media,
@@ -670,6 +680,99 @@ def _shingle_cte(n: int) -> str:
             FROM base WHERE len(tk) >= {n}
         )
     """
+
+
+def _minhash_oracle(threshold: float = 0.5, num_perm: int = 64,
+                    bands: int = 16, n: int = 3) -> str:
+    """DuckDB twin of minhash_lsh_pairs(hasher='md5'): identical shingles,
+    identical md5 permutation family, identical band keys, identical
+    Jaccard verify — the candidate SET matches exactly, not just the
+    verified output."""
+    r = num_perm // bands
+    joined = "||' '||".join(f"tk[i+{j}]" for j in range(n))
+    return f"""
+        WITH base AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+        elig AS (
+            SELECT doc_id, CASE WHEN len(tk) >= {n}
+                THEN list_distinct(list_transform(
+                     generate_series(1, len(tk) - {n - 1}), i -> {joined}))
+                ELSE [array_to_string(tk, ' ')] END AS sh
+            FROM base),
+        sig AS (
+            SELECT doc_id, sh, list_transform(generate_series(0, {num_perm - 1}),
+                p -> list_min(list_transform(sh, s -> md5(s || '|' || p)))) AS sg
+            FROM elig),
+        bands AS (
+            SELECT doc_id, b,
+                   md5(array_to_string(list_slice(sg, b*{r}+1, b*{r}+{r}), ',')) AS bh
+            FROM sig, generate_series(0, {bands - 1}) t(b)),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+            FROM bands a JOIN bands c ON a.b = c.b AND a.bh = c.bh
+                                     AND a.doc_id < c.doc_id),
+        v AS (
+            SELECT id1, id2, len(list_intersect(e1.sh, e2.sh)) AS inter,
+                   len(e1.sh) AS n1, len(e2.sh) AS n2
+            FROM cand JOIN elig e1 ON cand.id1 = e1.doc_id
+                      JOIN elig e2 ON cand.id2 = e2.doc_id)
+        SELECT id1, id2,
+               round(CAST(inter AS DOUBLE)/(n1 + n2 - inter), 6) AS jaccard
+        FROM v WHERE CAST(inter AS DOUBLE)/(n1 + n2 - inter) >= {threshold}
+    """
+
+
+def _simhash_oracle(bits: int = 60) -> str:
+    """DuckDB twin of simhash_dup_groups(bits=60, hasher='md5'): 60-bit
+    token hash from md5 hex prefix, per-bit majority vote unrolled into
+    one generated 60-term sum (bits disjoint ⇒ sum == OR)."""
+    terms = " + ".join(
+        f"(CASE WHEN 2*len(list_filter(hs, v -> ((v >> {j}) & 1) = 1)) > n_t "
+        f"THEN (CAST(1 AS BIGINT) << {j}) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(bits)
+    )
+    return f"""
+        WITH base AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+        hv AS (SELECT doc_id, len(tk) AS n_t,
+                      list_transform(tk,
+                          t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+               FROM base),
+        sh AS (SELECT doc_id, ({terms}) AS simhash FROM hv),
+        g AS (SELECT simhash, list_sort(list(doc_id)) AS ids_l,
+                     count(*) AS n
+              FROM sh GROUP BY simhash)
+        SELECT simhash, CAST(ids_l AS VARCHAR) AS ids, n FROM g WHERE n > 1
+    """
+
+
+_MULTIMODAL_ORACLE = """
+    WITH m AS (
+        SELECT i AS media_id,
+               CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                          ELSE 'video' END AS kind,
+               repeat(md5('media|' || i), 2 + i % 5) AS blob_hex
+        FROM generate_series(0, 59) t(i)),
+    vt AS (SELECT media_id, kind,
+                  ('0x' || substr(md5(blob_hex), 1, 15))::BIGINT AS v
+           FROM m),
+    d AS (SELECT media_id, kind, v, 25 + v % 1000 AS frames FROM vt)
+    SELECT media_id, kind,
+           CASE kind WHEN 'image' THEN 64 + v % 1920
+                     WHEN 'audio' THEN 0
+                     ELSE 320 + v % 1600 END AS width,
+           CASE kind WHEN 'image' THEN 64 + (v >> 16) % 1080
+                     WHEN 'audio' THEN 0
+                     ELSE 240 + (v >> 8) % 840 END AS height,
+           CASE kind WHEN 'image' THEN 1 WHEN 'audio' THEN 0
+                     ELSE frames END AS n_frames,
+           CASE kind WHEN 'image' THEN CAST(0.0 AS DOUBLE)
+                     WHEN 'audio' THEN CAST(0.5 AS DOUBLE)
+                          + CAST(v % 600 AS DOUBLE) / CAST(10 AS DOUBLE)
+                     ELSE CAST(frames AS DOUBLE) / CAST(25 AS DOUBLE)
+                     END AS duration_s,
+           CASE kind WHEN 'image' THEN 'fake/png' WHEN 'audio' THEN 'fake/wav'
+                     ELSE 'fake/h264' END AS codec
+    FROM d
+"""
 
 
 TRAINING_ORACLES = {
@@ -827,6 +930,7 @@ def all_oracles():
     out.update({k: v for k, v in TRAINING_ORACLES.items() if v})
     out["q36_quality_stats"] = _quality_oracle()
     out["q37_langid"] = _langid_oracle()
-    # q32/q33 (xxhash64-based) and q40 (stub kernels) are intentionally
-    # oracle-less → driver records rows-only checks
+    out["q32_minhash_lsh"] = _minhash_oracle()
+    out["q33_simhash_groups"] = _simhash_oracle()
+    out["q40_multimodal_features"] = _MULTIMODAL_ORACLE
     return out

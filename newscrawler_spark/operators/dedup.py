@@ -30,6 +30,22 @@ from pyspark.sql import functions as F
 TOKEN_SPLIT = r"\s+"
 
 
+def bind_once(expr: Column, body) -> Column:
+    """Evaluate ``expr`` ONCE per row and hand it to ``body`` as a lambda
+    variable.
+
+    Catalyst's CollapseProject inlines projected columns into downstream
+    lambda bodies, so an expensive array expression referenced inside a
+    ``transform`` over k elements gets re-evaluated k times per row
+    (measured: 16x on the LSH band keys, 64x on the per-permutation
+    shingle array). Wrapping it as the single element of an array and
+    transforming binds it to a lambda variable — evaluated once, then
+    referenced cheaply — the expression-level analog of a materialization
+    barrier, with no shuffle and no cache.
+    """
+    return F.element_at(F.transform(F.array(expr), body), 1)
+
+
 def tokens_expr(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     return F.filter(F.split(F.lower(F.trim(c)), TOKEN_SPLIT), lambda t: t != "")
@@ -96,17 +112,36 @@ def ngram_jaccard_pairs(
     return pairs
 
 
-def minhash_signature(text: Column | str, num_perm: int = 64, n: int = 3) -> Column:
-    """MinHash signature: array of ``num_perm`` longs.
+def minhash_signature(
+    text: Column | str, num_perm: int = 64, n: int = 3, hasher: str = "xxhash64"
+) -> Column:
+    """MinHash signature: array of ``num_perm`` hash values.
 
-    Permutation i = min over shingles of xxhash64(shingle, seed=i) —
-    computed natively per row (transform + array_min), zero shuffle.
+    Permutation i = min over shingles of h_i(shingle) — computed natively
+    per row (transform + array_min), zero shuffle.
+
+    hasher="xxhash64" (default, scale path): h_i = xxhash64(shingle, seed=i),
+    one long per permutation — cheapest per-row form.
+    hasher="md5" (oracle path): h_i = md5(shingle || '|' || i) as a hex
+    STRING; min over fixed-width lowercase hex == min over the 128-bit
+    value, so it is an equally valid min-wise permutation family AND is
+    reproducible in ANSI SQL (DuckDB) for two-sided driver checks.
     """
     sh = shingles_expr(text, n)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda i: F.array_min(
-            F.transform(sh, lambda s: F.xxhash64(s, i))
+    if hasher == "md5":
+        perm = lambda shv, i: F.array_min(  # noqa: E731
+            F.transform(shv, lambda s: F.md5(F.concat(s, F.lit("|"), i.cast("string"))))
+        )
+    else:
+        perm = lambda shv, i: F.array_min(  # noqa: E731
+            F.transform(shv, lambda s: F.xxhash64(s, i))
+        )
+    # bind the shingle array once — inlined, it would be re-tokenized
+    # num_perm times per row
+    return bind_once(
+        sh,
+        lambda shv: F.transform(
+            F.sequence(F.lit(0), F.lit(num_perm - 1)), lambda i: perm(shv, i)
         ),
     )
 
@@ -119,34 +154,52 @@ def minhash_lsh_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-verified (the 100 TB dedup path).
 
     signature → ``bands`` bands of ``num_perm/bands`` rows; band hash =
-    xxhash64 of the band slice; docs sharing any band bucket become
+    hash of the band slice; docs sharing any band bucket become
     candidates; candidates are verified with true n-gram Jaccard. Output
     (id1, id2, jaccard) — a superset-free result: FPs are filtered by the
     verify stage; FNs are the usual LSH recall tradeoff (tested ≥ target
     in tests/test_dedup.py).
+
+    ``hasher="md5"`` switches the whole parameterization (permutations AND
+    band keys) to md5 so a DuckDB oracle can reproduce the exact candidate
+    set — used by the driver-contract query q32; xxhash64 stays the
+    default engine path (one long vs a 32-char string per hash).
     """
     r = num_perm // bands
     sig = documents.select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("text"),
-        minhash_signature(text_col, num_perm, n).alias("sig"),
+        minhash_signature(text_col, num_perm, n, hasher).alias("sig"),
     )
+    # bind the signature once per row (see bind_once): the 16 band keys
+    # then slice an already-evaluated array instead of re-hashing all
+    # shingles x permutations per band
+    if hasher == "md5":
+        band_key = lambda sg, bnd: F.md5(  # noqa: E731
+            F.concat_ws(",", F.slice(sg, bnd * r + 1, F.lit(r)))
+        )
+    else:
+        band_key = lambda sg, bnd: F.xxhash64(  # noqa: E731
+            F.concat_ws(",", F.transform(
+                F.slice(sg, bnd * r + 1, F.lit(r)),
+                lambda x: x.cast("string"),
+            ))
+        )
     banded = sig.select(
         "id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bnd: F.struct(
-                    bnd.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.transform(
-                            F.slice("sig", bnd * r + 1, r), lambda x: x.cast("string")
-                        ))
-                    ).alias("bh"),
+            bind_once(
+                F.col("sig"),
+                lambda sg: F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda bnd: F.struct(
+                        bnd.alias("band"), band_key(sg, bnd).alias("bh")
+                    ),
                 ),
             )
         ).alias("bx"),
@@ -176,8 +229,8 @@ def minhash_lsh_pairs(
     return verified
 
 
-def simhash_expr(text: Column | str, bits: int = 64) -> Column:
-    """SimHash: per-bit majority vote over token xxhash64s → one long.
+def simhash_expr(text: Column | str, bits: int = 64, hasher: str = "xxhash64") -> Column:
+    """SimHash: per-bit majority vote over token hashes → one long.
 
     Native: per bit i (unrolled Python loop → literal masks, since
     shiftleft's distance must be a literal), count hashes with the bit
@@ -185,42 +238,122 @@ def simhash_expr(text: Column | str, bits: int = 64) -> Column:
     signed mask. The expression is ~64 array scans per row — fine for a
     64-term codegen'd expression; the corpus-scale alternative is the
     explode→groupBy(doc, bit) relational form with identical semantics.
+
+    ``hasher="md5"`` derives a 60-bit token hash from the first 15 hex
+    chars of md5 (conv base16→10) — the same value DuckDB computes with
+    ``('0x' || substr(md5(t),1,15))::BIGINT``, so the whole signature is
+    SQL-reproducible for the driver oracle (q33). Callers must then pass
+    ``bits=60`` (all masks positive; no sign games).
     """
     toks = tokens_expr(text)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    nt = F.size(toks)
+    if hasher == "md5":
+        if bits > 60:
+            raise ValueError("md5-parameterized simhash supports <= 60 bits")
+        hashes = F.transform(
+            toks,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+        )
+    else:
+        hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
     # per-bit terms kept INDEPENDENT, then OR-folded: nesting the
     # accumulator inside both when() branches doubles the expression tree
-    # per bit (2^64 nodes — analyzer OOM); this form is linear.
-    def bit_count(mask: Column) -> Column:
-        # NB: a 2-arg lambda would be read by pyspark as (value, index)
-        return F.size(F.filter(hashes, lambda h: h.bitwiseAND(mask) != 0))
+    # per bit (2^64 nodes — analyzer OOM); this form is linear. The hash
+    # array + token count are bound ONCE (see bind_once) — inlined they
+    # would be re-hashed `bits` times per row.
+    def vote(st: Column) -> Column:
+        hs = st["hs"]
+        nt = st["nt"]
 
-    terms = []
-    for i in range(bits):
-        m = (1 << i) if i < 63 else -(1 << 63)
-        mask = F.lit(m).cast("long")
-        cnt = bit_count(mask)
-        terms.append(F.when(cnt * 2 > nt, mask).otherwise(F.lit(0).cast("long")))
-    acc = terms[0]
-    for t in terms[1:]:
-        acc = acc.bitwiseOR(t)
-    return acc
+        def bit_count(mask: Column) -> Column:
+            # NB: a 2-arg lambda would be read by pyspark as (value, index)
+            return F.size(F.filter(hs, lambda h: h.bitwiseAND(mask) != 0))
+
+        terms = []
+        for i in range(bits):
+            m = (1 << i) if i < 63 else -(1 << 63)
+            mask = F.lit(m).cast("long")
+            cnt = bit_count(mask)
+            terms.append(F.when(cnt * 2 > nt, mask).otherwise(F.lit(0).cast("long")))
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc.bitwiseOR(t)
+        return acc
+
+    return bind_once(
+        F.struct(hashes.alias("hs"), F.size(toks).alias("nt")), vote
+    )
 
 
 def simhash_dup_groups(documents: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
-    """Docs sharing an identical 64-bit SimHash (near-dup by construction).
+                       text_col: str = "text", bits: int = 64,
+                       hasher: str = "xxhash64") -> DataFrame:
+    """Docs sharing an identical SimHash (near-dup by construction).
 
-    At corpus scale, Hamming-distance-k matching uses the standard 4-band
-    rotation trick over this same column; equality groups are the
-    oracle-checkable core.
+    Hamming-distance-k matching (block-rotation, exact) lives in
+    :func:`simhash_hamming_pairs`; equality groups are the
+    oracle-checkable core (``hasher="md5"`` ⇒ DuckDB-reproducible, q33).
     """
     return (
-        documents.select(F.col(id_col).alias("id"), simhash_expr(text_col).alias("simhash"))
+        documents.select(
+            F.col(id_col).alias("id"),
+            simhash_expr(text_col, bits, hasher).alias("simhash"),
+        )
         .groupBy("simhash")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"), F.count(F.lit(1)).alias("n"))
         .where(F.col("n") > 1)
+    )
+
+
+def simhash_hamming_pairs(
+    documents: DataFrame,
+    k: int = 3,
+    bits: int = 64,
+    hasher: str = "xxhash64",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All pairs with SimHash Hamming distance <= k — EXACT via the
+    standard block trick: split the signature into k+1 bit-blocks; any
+    pair within distance k must agree exactly on >= 1 block (pigeonhole),
+    so candidates = equi-join on (block_idx, block_value) — an O(docs·(k+1))
+    shuffle, never all-pairs — then verify bit_count(xor) <= k. No false
+    negatives by construction; the verify removes false positives.
+
+    Output (id1, id2, hamming) with id1 < id2.
+    """
+    nblocks = k + 1
+    # block b covers bit range [lo, lo+width): near-equal widths
+    widths = [bits // nblocks + (1 if b < bits % nblocks else 0)
+              for b in range(nblocks)]
+    sig = documents.select(
+        F.col(id_col).alias("id"),
+        simhash_expr(text_col, bits, hasher).alias("sh"),
+    )
+    parts = []
+    lo = 0
+    for b, w in enumerate(widths):
+        if w <= 0:
+            continue
+        # unsigned slice [lo, lo+w): shiftrightunsigned then mask
+        mask = F.lit((1 << w) - 1).cast("long")
+        val = F.shiftrightunsigned(F.col("sh"), lo).bitwiseAND(mask)
+        parts.append(F.struct(F.lit(b).alias("blk"), val.alias("bv")))
+        lo += w
+    blocked = sig.select(
+        "id", "sh", F.explode(F.array(*parts)).alias("bx")
+    ).select("id", "sh", F.col("bx.blk").alias("blk"), F.col("bx.bv").alias("bv"))
+    a = blocked.select(F.col("id").alias("id1"), F.col("sh").alias("sh1"), "blk", "bv")
+    b2 = blocked.select(F.col("id").alias("id2"), F.col("sh").alias("sh2"), "blk", "bv")
+    return (
+        a.join(b2, ["blk", "bv"])
+        .where(F.col("id1") < F.col("id2"))
+        .select(
+            "id1", "id2",
+            F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= k)
     )
 
 

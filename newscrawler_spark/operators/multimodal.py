@@ -42,11 +42,14 @@ def _fake_decode(kind: str, blob: bytes) -> tuple[int, int, int, float, str]:
     """STUB KERNEL — deterministic fake of a real decoder.
 
     Replace with PIL.Image.open / av / soundfile in production. Derives
-    (width, height, n_frames, duration_s, codec) from a blake2b of the
-    bytes so tests are stable and shape-realistic.
+    (width, height, n_frames, duration_s, codec) from a 60-bit value
+    v = int(md5(hex(bytes))[:15], 16) — md5 over the lowercase hex string
+    of the blob, NOT the raw bytes, so an ANSI-SQL oracle (DuckDB md5()
+    is VARCHAR-only) can recompute v and every derived field exactly
+    (driver query q40). All arithmetic below is nonneg-int mod/shift plus
+    IEEE double division of the same ints — bit-identical cross-engine.
     """
-    h = hashlib.blake2b(blob, digest_size=8).digest()
-    v = int.from_bytes(h, "big")
+    v = int(hashlib.md5(blob.hex().encode()).hexdigest()[:15], 16)
     if kind == "image":
         return (64 + v % 1920, 64 + (v >> 16) % 1080, 1, 0.0, "fake/png")
     if kind == "audio":
@@ -59,8 +62,8 @@ def _fake_decode(kind: str, blob: bytes) -> tuple[int, int, int, float, str]:
 
 def _fake_features(blob: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     """STUB KERNEL — deterministic unit-norm pseudo-embedding from bytes."""
-    seed = int.from_bytes(hashlib.blake2b(blob, digest_size=8).digest(), "big")
-    rng = np.random.default_rng(seed % (2**63))
+    seed = int(hashlib.md5(blob.hex().encode()).hexdigest()[:15], 16)
+    rng = np.random.default_rng(seed)
     v = rng.standard_normal(dim).astype(np.float32)
     return v / np.linalg.norm(v)
 
@@ -135,12 +138,17 @@ def frame_sample_plan(decoded: DataFrame, every_n: int = 25) -> DataFrame:
 
 
 def gen_fake_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for tests (seeded bytes)."""
+    """Deterministic fake media table for tests (seeded bytes).
+
+    blob_i = unhex(repeat(md5('media|i'), 2 + i%5)) — constructible in
+    DuckDB SQL too, so the q40 oracle regenerates the identical table
+    with generate_series instead of reading a side file.
+    """
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        blob = hashlib.blake2b(f"media|{i}".encode(), digest_size=32).digest() * (
+        blob = bytes.fromhex(hashlib.md5(f"media|{i}".encode()).hexdigest()) * (
             2 + i % 5
         )
         rows.append((i, kind, blob, f"http://m.example/{kind}/{i}", kind + "/fake",

@@ -34,10 +34,9 @@ def test_queries_and_oracles_align():
     qs = entry_mod.queries()
     os_ = entry_mod.oracle_sql()
     assert set(os_) <= set(qs)
-    # xxhash64-based + stub-kernel ops are the only oracle-less entries
-    assert set(qs) - set(os_) == {
-        "q32_minhash_lsh", "q33_simhash_groups", "q40_multimodal_features"
-    }
+    # every driver query is two-sided oracle-checked (round 2: q32/q33/q40
+    # moved to md5-parameterized forms a DuckDB oracle can reproduce)
+    assert set(qs) == set(os_)
     assert len(qs) >= 25
 
 

@@ -15,6 +15,7 @@ from newscrawler_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_dup_groups,
     simhash_expr,
+    simhash_hamming_pairs,
 )
 
 DOCS = [
@@ -93,6 +94,51 @@ def test_simhash_near_dups_close(spark, docs_df):
     ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
     assert ham(sig[0], sig[2]) <= 12      # near dups: few bits differ
     assert ham(sig[0], sig[3]) > ham(sig[0], sig[2])  # unrelated: more bits
+
+
+def test_minhash_md5_parameterization_equivalent(spark, docs_df):
+    """The md5-parameterized family (driver-oracle path, q32) finds the
+    same verified near-dup pairs as the xxhash64 default on a corpus where
+    LSH recall is full — the hash family changes, the semantics don't."""
+    md5_pairs = {
+        (r.id1, r.id2)
+        for r in minhash_lsh_pairs(docs_df, threshold=0.6, hasher="md5").collect()
+    }
+    exact = {
+        (r.id1, r.id2)
+        for r in ngram_jaccard_pairs(docs_df, threshold=0.6).collect()
+    }
+    assert md5_pairs == exact
+
+
+def test_simhash_md5_60bit_range_and_collisions(spark, docs_df):
+    rows = docs_df.select(
+        "doc_id", simhash_expr("text", bits=60, hasher="md5").alias("sh")
+    ).collect()
+    sig = {r.doc_id: r.sh for r in rows}
+    assert all(0 <= v < (1 << 60) for v in sig.values())
+    assert sig[0] == sig[1]                      # exact dups collide
+    groups = simhash_dup_groups(docs_df, bits=60, hasher="md5").collect()
+    assert any(set(g.ids) >= {0, 1} for g in groups)
+
+
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_simhash_hamming_pairs_exact(spark, docs_df, k):
+    """Block-rotation candidate generation is EXACT for Hamming <= k:
+    compare against brute-force over collected signatures."""
+    rows = docs_df.select("doc_id", simhash_expr("text").alias("sh")).collect()
+    sig = {r.doc_id: r.sh for r in rows}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    want = {
+        (i, j, ham(sig[i], sig[j]))
+        for i, j in itertools.combinations(sorted(sig), 2)
+        if ham(sig[i], sig[j]) <= k
+    }
+    got = {
+        (r.id1, r.id2, r.hamming)
+        for r in simhash_hamming_pairs(docs_df, k=k).collect()
+    }
+    assert got == want
 
 
 def test_embedding_cosine_pairs(spark):
