@@ -666,6 +666,32 @@ def q40_multimodal_features(spark, sf_dir):
     return decode_media(media, fake=True)
 
 
+def q41_ann_lsh_topk(spark, sf_dir):
+    """The SCALE similarity path (sign-bucket LSH blocking + exact cosine
+    re-rank) — md5-derived hyperplanes so the DuckDB oracle regenerates
+    the identical plane matrix, bucket ids, candidate set, and ranking.
+    Queries = the three smallest vec_ids (same protocol as q35)."""
+    from newscrawler_spark.operators.similarity import ann_lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ann_lsh_topk(emb, q, k=5, dim=64, n_planes=8, n_tables=4,
+                        plane_source="md5")
+
+
+def q42_simhash_hamming(spark, sf_dir):
+    """Exact Hamming<=3 near-dup pairs over the md5-parameterized 60-bit
+    SimHash — the block-rotation candidate join vs an all-pairs SQL
+    oracle (bit_count(xor(...))), proving the blocking loses no pairs."""
+    from newscrawler_spark.operators.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(
+        _t(spark, sf_dir, "documents"), k=3, bits=60, hasher="md5"
+    )
+
+
 _TOKS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t != '')"
 
 
@@ -773,6 +799,81 @@ _MULTIMODAL_ORACLE = """
                      ELSE 'fake/h264' END AS codec
     FROM d
 """
+
+
+def _ann_oracle(k: int = 5, dim: int = 64, n_planes: int = 8,
+                n_tables: int = 4) -> str:
+    """DuckDB twin of ann_lsh_topk(plane_source='md5'): regenerate the
+    plane matrix from the same md5 arithmetic (exact doubles), recompute
+    sign buckets per (vector, table), candidates = bucket equality in any
+    table, exact-cosine re-rank. Sign decisions are float-sum-order
+    robust (|dot| >> round-off)."""
+    return f"""
+        WITH planes AS (
+            SELECT t, p, d,
+                   ('0x' || substr(md5('plane|' || t || '|' || p || '|' || d),
+                    1, 8))::BIGINT / 2147483648.0 - 1.0 AS val
+            FROM generate_series(0, {n_tables - 1}) tt(t),
+                 generate_series(0, {n_planes - 1}) pp(p),
+                 generate_series(0, {dim - 1}) dd(d)),
+        ev AS (
+            SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+                   generate_subscripts(embedding, 1) AS dd
+            FROM embeddings),
+        dots AS (
+            SELECT vec_id, t, p, sum(x * val) AS dot
+            FROM ev JOIN planes ON ev.dd = planes.d + 1
+            GROUP BY 1, 2, 3),
+        buckets AS (
+            SELECT vec_id, t,
+                   sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p)
+                       ELSE 0 END) AS bucket
+            FROM dots GROUP BY 1, 2),
+        qids AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                 ORDER BY vec_id LIMIT 3),
+        cand AS (
+            SELECT DISTINCT q.query_id, e.vec_id
+            FROM buckets e
+            JOIN (SELECT qids.query_id, b.t, b.bucket
+                  FROM buckets b JOIN qids ON b.vec_id = qids.query_id) q
+              ON e.t = q.t AND e.bucket = q.bucket),
+        scored AS (
+            SELECT c.query_id, c.vec_id,
+                   list_cosine_similarity(e.embedding::DOUBLE[],
+                                          q.qv::DOUBLE[]) AS cos
+            FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+                        JOIN qids q ON c.query_id = q.query_id),
+        ranked AS (
+            SELECT query_id, vec_id, round(cos, 6) AS cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id ASC) AS rank
+            FROM scored)
+        SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+def _simhash_hamming_oracle(k: int = 3, bits: int = 60) -> str:
+    """All-pairs Hamming oracle for q42: recompute the md5 60-bit SimHash
+    (same per-bit majority CTE as q33) then bit_count(xor) <= k over the
+    full cross join — quadratic, fine at oracle scale, and a strict
+    no-false-negative check on the engine's block-rotation join."""
+    terms = " + ".join(
+        f"(CASE WHEN 2*len(list_filter(hs, v -> ((v >> {j}) & 1) = 1)) > n_t "
+        f"THEN (CAST(1 AS BIGINT) << {j}) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(bits)
+    )
+    return f"""
+        WITH base AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+        hv AS (SELECT doc_id, len(tk) AS n_t,
+                      list_transform(tk,
+                          t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+               FROM base),
+        sh AS (SELECT doc_id, ({terms}) AS simhash FROM hv)
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {k}
+    """
 
 
 TRAINING_ORACLES = {
@@ -920,6 +1021,8 @@ def all_queries():
         "q38_fingerprint": q38_fingerprint,
         "q39_token_stats": q39_token_stats,
         "q40_multimodal_features": q40_multimodal_features,
+        "q41_ann_lsh_topk": q41_ann_lsh_topk,
+        "q42_simhash_hamming": q42_simhash_hamming,
     }
 
 
@@ -933,4 +1036,6 @@ def all_oracles():
     out["q32_minhash_lsh"] = _minhash_oracle()
     out["q33_simhash_groups"] = _simhash_oracle()
     out["q40_multimodal_features"] = _MULTIMODAL_ORACLE
+    out["q41_ann_lsh_topk"] = _ann_oracle()
+    out["q42_simhash_hamming"] = _simhash_hamming_oracle()
     return out

@@ -77,16 +77,46 @@ def _planes(dim: int, n_planes: int, table: int, seed: int = 42) -> list[list[fl
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def _md5_planes(dim: int, n_planes: int, table: int) -> list[list[float]]:
+    """Deterministic hyperplanes from md5 arithmetic — component (t,p,d) =
+    int(md5(f"plane|{t}|{p}|{d}")[:8], 16) / 2^31 - 1, uniform in [-1, 1).
+    Uniform (not Gaussian) components still give valid sign-projection
+    hyperplanes; the point of this family is that a SQL oracle can
+    regenerate the IDENTICAL doubles — ('0x' || substr(md5(...),1,8))::BIGINT
+    / 2147483648.0 - 1.0 — int/2^31 and the -1 shift are exact in IEEE
+    double, so both engines hold bit-identical plane matrices (q41)."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"plane|{table}|{p}|{d}".encode()).hexdigest()[:8], 16)
+            / 2147483648.0
+            - 1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-projection bucket id: bit i = (vec · plane_i) > 0, packed long."""
-    b = F.lit(0).cast("long")
+    """Sign-projection bucket id: bit i = (vec · plane_i) > 0, packed long.
+
+    Terms are independent and SUMMED (bits disjoint ⇒ sum == OR): a
+    nested when(b|bit).otherwise(b) accumulator references itself twice
+    per plane, duplicating every earlier dot product 2^i times in the
+    expression tree.
+    """
+    terms = []
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
-        b = F.when(
-            dot_expr(vec, plane) > 0,
-            b.bitwiseOR(F.shiftleft(F.lit(1).cast("long"), i)),
-        ).otherwise(b)
-    return b
+        terms.append(
+            F.when(dot_expr(vec, plane) > 0, F.lit(1 << i).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return acc
 
 
 def ann_lsh_topk(
@@ -100,21 +130,25 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    plane_source: str = "pcg64",
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in ≥1 of
     ``n_tables`` sign-projection tables; exact cosine re-ranks candidates.
 
     Same output schema as :func:`brute_force_topk` (a query may return
     < k rows if its buckets are sparse — that's the recall tradeoff,
-    measured in tests/test_similarity.py).
+    measured in tests/test_similarity.py). ``plane_source="md5"`` swaps
+    the numpy-PCG64 plane matrix for the md5-derived one so a DuckDB
+    oracle reproduces the exact candidate set (q41).
     """
     e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
     )
+    gen = _md5_planes if plane_source == "md5" else _planes
     cand = None
     for t in range(n_tables):
-        planes = _planes(dim, n_planes, t)
+        planes = gen(dim, n_planes, t)
         eb = e.withColumn("bucket", lsh_bucket_expr(F.col("v"), planes)).withColumn(
             "table", F.lit(t)
         )

@@ -27,6 +27,7 @@ CHEAP = [
     "q08_order_set_ops", "q09_scalar_functions", "q10_events_rank_per_user",
     "q11_doc_token_explode", "q30_dedup_exact", "q36_quality_stats",
     "q37_langid", "q39_token_stats", "q40_multimodal_features",
+    "q41_ann_lsh_topk", "q42_simhash_hamming",
 ]
 
 

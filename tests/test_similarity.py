@@ -80,6 +80,30 @@ def test_ann_lsh_recall(spark, emb_df, queries_df, emb_np):
     assert all((q, q) in approx for q in (0, 7, 42))
 
 
+def test_ann_md5_planes_recall_and_range(spark, emb_df, queries_df):
+    """The md5-derived plane family (driver-oracle path, q41) behaves
+    like the PCG64 default: components in [-1, 1), self-hit guaranteed,
+    recall in the same regime."""
+    from newscrawler_spark.operators.similarity import _md5_planes
+
+    planes = _md5_planes(DIM, 8, 0)
+    flat = [x for p in planes for x in p]
+    assert all(-1.0 <= x < 1.0 for x in flat)
+    assert len(set(flat)) > len(flat) * 0.99     # no degenerate repeats
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(emb_df, queries_df, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ann_lsh_topk(
+            emb_df, queries_df, k=5, dim=DIM, plane_source="md5"
+        ).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.6
+    assert all((q, q) in approx for q in (0, 7, 42))
+
+
 def test_similarity_plans_are_jvm_only(spark, emb_df, queries_df):
     for df in (
         brute_force_topk(emb_df, queries_df, k=3),
