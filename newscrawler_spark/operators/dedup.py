@@ -362,12 +362,32 @@ def embedding_cosine_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "blocked",
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Embedding near-dup pairs: cosine(a, b) >= threshold, id1 < id2.
 
-    Exact all-pairs (for oracle scale). At 10^9 vectors use the LSH
-    bucketing in operators/similarity.py to block the join first.
+    Exact all-pairs, two physical strategies with identical output:
+
+    - ``method="blocked"`` (default): block-partitioned matrix multiply.
+      Vectors hash into ``n_blocks`` blocks; each of the B(B+1)/2 block
+      CELLS becomes one ``applyInPandas`` task computing a vectorized
+      numpy GEMM over its (left x right) sub-matrices. Replication is
+      B+1 copies per row (shuffle O(N·B)), compute is the unavoidable
+      O(N²) dot products but SIMD-batched instead of one Catalyst
+      array-fold per pair — 2M-pair bench (sf0.1) drops from 56.9 s to
+      a few seconds, and the work spreads evenly over executors.
+    - ``method="catalyst"``: the pure-JVM nested-loop join + array-fold
+      cosine. No Python workers, but a cartesian residual join — keep
+      for tiny inputs and as the plan-level reference.
+
+    Both are the EXACT tier. At 10^9 vectors neither applies: block with
+    the sign-bucket LSH in operators/similarity.py and exact-verify the
+    candidates (same pattern as minhash_lsh_pairs).
     """
+    if method == "blocked":
+        return _cosine_pairs_blocked(embeddings, threshold, id_col, vec_col,
+                                     n_blocks)
     from newscrawler_spark.operators.similarity import cosine_expr
 
     e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
@@ -379,3 +399,67 @@ def embedding_cosine_pairs(
         .where(F.col("cos") >= threshold)
         .select("id1", "id2", F.round("cos", 6).alias("cos"))
     )
+
+
+def _cosine_pairs_blocked(
+    embeddings: DataFrame, threshold: float, id_col: str, vec_col: str,
+    n_blocks: int,
+) -> DataFrame:
+    """Block-cell GEMM for exact all-pairs cosine (see
+    embedding_cosine_pairs). A row in block b is the LEFT side of cells
+    (b, j>=b) and the RIGHT side of cells (i<=b, b); every unordered pair
+    lands in exactly one cell — diagonal cells dedupe with id_l < id_r."""
+    import numpy as np
+    import pandas as pd
+
+    B = n_blocks
+    thr = float(threshold)
+
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("blk"),
+    )
+    left = e.select(
+        F.lit("L").alias("side"),
+        F.col("blk").alias("bi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(B - 1))).alias("bj"),
+        "id", "v",
+    )
+    right = e.select(
+        F.lit("R").alias("side"),
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
+        F.col("blk").alias("bj"),
+        "id", "v",
+    )
+    both = left.unionByName(right)
+
+    def gemm(key, pdf):
+        bi, bj = int(key[0]), int(key[1])
+        lf = pdf[pdf["side"] == "L"]
+        rt = pdf[pdf["side"] == "R"]
+        if lf.empty or rt.empty:
+            return pd.DataFrame({"id1": [], "id2": [], "cos": []}).astype(
+                {"id1": "int64", "id2": "int64", "cos": "float64"}
+            )
+        ml = np.array(lf["v"].tolist(), dtype=np.float64)
+        mr = np.array(rt["v"].tolist(), dtype=np.float64)
+        ml /= np.linalg.norm(ml, axis=1, keepdims=True)
+        mr /= np.linalg.norm(mr, axis=1, keepdims=True)
+        c = ml @ mr.T
+        li = lf["id"].to_numpy()
+        ri = rt["id"].to_numpy()
+        ii, jj = np.nonzero(c >= thr)
+        a, b = li[ii], ri[jj]
+        # diagonal cells see each unordered pair twice (L and R are the
+        # same block) — keep one orientation
+        keep = a < b if bi == bj else np.ones(len(a), dtype=bool)
+        a, b, cv = a[keep], b[keep], c[ii, jj][keep]
+        return pd.DataFrame(
+            {"id1": np.minimum(a, b), "id2": np.maximum(a, b), "cos": cv}
+        )
+
+    out = both.groupBy("bi", "bj").applyInPandas(
+        gemm, schema="id1 long, id2 long, cos double"
+    )
+    return out.select("id1", "id2", F.round("cos", 6).alias("cos"))

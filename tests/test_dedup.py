@@ -153,6 +153,28 @@ def test_embedding_cosine_pairs(spark):
     assert pairs == {(0, 1)}
 
 
+def test_embedding_blocked_equals_catalyst(spark):
+    """The block-GEMM default must return the identical pair set + cosines
+    as the pure-Catalyst nested-loop reference (both are exact tiers)."""
+    import random
+
+    rng = random.Random(7)
+    vecs = [
+        (i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    blocked = {
+        (r.id1, r.id2): r.cos
+        for r in embedding_cosine_pairs(df, 0.2, method="blocked").collect()
+    }
+    catalyst = {
+        (r.id1, r.id2): r.cos
+        for r in embedding_cosine_pairs(df, 0.2, method="catalyst").collect()
+    }
+    assert set(blocked) == set(catalyst)
+    assert all(abs(blocked[k] - catalyst[k]) < 2e-6 for k in blocked)
+
+
 def test_dedup_plans_are_jvm_only(spark, docs_df):
     for df in (
         exact_dedup(docs_df),
