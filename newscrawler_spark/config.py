@@ -58,6 +58,10 @@ class CrawlConfig:
     seen_buckets: int = 32            # bucket(url_hash) shard count
     bloom_bits_per_key: int = 10      # ~1% fpp
     use_bloom_prefilter: bool = True
+    # fold the per-round seen_delta ledger into one bucketed base table
+    # every K committed rounds (0 = never): read_seen then scans
+    # base + <=K deltas instead of every round since genesis
+    compact_seen_every: int = 8
 
     # seeds defaults (A1)
     default_crawler: str = "recursive_sitemap"

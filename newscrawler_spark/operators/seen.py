@@ -128,16 +128,39 @@ def bloom_split(links: DataFrame, shards: DataFrame, cfg: CrawlConfig) -> DataFr
 def bloom_dedup(links: DataFrame, seen: DataFrame, cfg: CrawlConfig) -> DataFrame:
     """B3 at scale — Bloom prefilter, exact confirm; ≡ plain anti-join.
 
-    definitely-new rows (bloom: impossible to be seen) skip the exact
-    join entirely; "maybe" rows are confirmed by the exact anti-join.
-    tests/test_seen_bloom.py asserts result == dedup_against_seen(...)
-    exactly, plus the no-false-negative property.
+    Builds shards from the full seen set — the one-shot / stateless form.
+    The crawl loop instead persists shards in each round commit and folds
+    deltas (:func:`update_bloom_shards`), probing with
+    :func:`bloom_dedup_with_shards` so per-round Bloom work is O(|delta|),
+    not O(|seen|).
     """
     shards = build_bloom_shards(seen, cfg)
+    return bloom_dedup_with_shards(links, seen, shards, cfg)
+
+
+def bloom_dedup_with_shards(
+    links: DataFrame, seen: DataFrame, shards: DataFrame, cfg: CrawlConfig
+) -> DataFrame:
+    """Probe pre-built (persisted) shards, exact-confirm the maybes.
+
+    ``shards`` must cover exactly the keys of ``seen`` (no false
+    negatives required of the filter itself): definitely-new rows skip
+    the exact join; "maybe" rows are confirmed by the exact anti-join, so
+    stale-saturated shards only cost FPs, never correctness.
+    tests/test_seen_bloom.py asserts result == dedup_against_seen(...).
+    """
     tagged = bloom_split(links, shards, cfg)
     fresh = tagged.where(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = tagged.where(F.col("maybe_seen")).drop("maybe_seen")
     return fresh.unionByName(dedup_against_seen(maybe, seen))
+
+
+def shards_saturated(stats: list[dict], bits_per_key: int) -> bool:
+    """Standard doubling rule over per-bucket (m, n_keys) stats: a shard
+    whose folded key count exceeds twice its sizing target has FP rate
+    well past design (still correct — exact confirm — just slower), so
+    the caller schedules a full rebuild."""
+    return any(s["n_keys"] * bits_per_key > 2 * s["m"] for s in stats)
 
 
 def update_bloom_shards(

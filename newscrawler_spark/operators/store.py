@@ -15,18 +15,23 @@ and the layout mirrors an Iceberg commit):
         seen_delta/      NEW url_hashes this round (append-only ledger)
         fetch_log/       this round's fetches (append-only)
         articles_delta/  this round's extracted articles (append-only)
+        bloom_shards/    seen-set Bloom snapshot (delta-folded per round)
         counters/        this round's metrics rows
         _MANIFEST.json   written LAST via atomic rename — the commit point
+      seen_base/
+        base=R/          compact_seen() fold of all seen_deltas <= R
 
 A round is durable iff its ``_MANIFEST.json`` exists; a killed run leaves
 at most a torn (manifest-less) directory which resume ignores — exactly an
 uncommitted Iceberg snapshot. Resume = read the highest manifest round
 (no re-fetch, no ordering drift — tests/test_resume.py).
 
-At 10^10 scale: deltas stay append-only (like Iceberg data files) and
-``compact_seen`` folds the ledger periodically; on a real cluster swap
-this class for an Iceberg catalog (``MERGE INTO`` for F2, snapshot IDs
-for rounds) — the runner only touches this interface.
+At 10^10 scale: deltas stay append-only (like Iceberg data files);
+``compact_seen`` folds the ledger every K rounds so membership reads
+scan base + <=K deltas; Bloom shards are folded forward per round
+(O(|delta|)) and rebuilt only on the saturation rule. On a real cluster
+swap this class for an Iceberg catalog (``MERGE INTO`` for F2, snapshot
+IDs for rounds) — the runner only touches this interface.
 """
 
 from __future__ import annotations
@@ -113,6 +118,8 @@ class CrawlState:
         articles_delta: DataFrame,
         counters: DataFrame | None = None,
         counters_builder=None,
+        bloom_shards: DataFrame | None = None,
+        bloom_mode: str | None = None,
     ) -> dict:
         """One transactional checkpoint (A11/G2): all tables land under
         ``round=r/``, then the manifest is renamed into place LAST.
@@ -120,6 +127,13 @@ class CrawlState:
         ``counters_builder(counts) -> DataFrame`` lets the caller derive
         the metrics row from the footer row-counts of the just-written
         tables — zero extra Spark jobs (vs one count() job per metric).
+
+        ``bloom_shards`` (optional) snapshots the URL-seen Bloom shards
+        with the round — the 10^10-scale maintenance path folds each
+        round's delta into the previous round's persisted shards
+        (seen.update_bloom_shards) instead of rebuilding from the full
+        seen set. ``bloom_mode`` ("incremental" | "rebuild") is recorded
+        in the manifest as auditable evidence of which path ran.
         """
         rd = self._round_dir(r)
         tables = {
@@ -128,6 +142,8 @@ class CrawlState:
             "fetch_log": fetch_log,
             "articles_delta": articles_delta,
         }
+        if bloom_shards is not None:
+            tables["bloom_shards"] = bloom_shards
         counts = {}
         for name, df in tables.items():
             path = os.path.join(rd, name)
@@ -144,6 +160,11 @@ class CrawlState:
             "committed_at": time.time(),
             "row_counts": counts,
         }
+        if bloom_shards is not None:
+            man["bloom"] = {
+                "mode": bloom_mode or "unknown",
+                "delta_rows": counts["seen_delta"],
+            }
         fd, tmp = tempfile.mkstemp(dir=rd, prefix="_MANIFEST", suffix=".tmp")
         with os.fdopen(fd, "w") as f:
             json.dump(man, f, indent=1)
@@ -168,8 +189,113 @@ class CrawlState:
             return self.spark.createDataFrame([], FRONTIER_SCHEMA)
         return self._read(r, "frontier")
 
+    # --------------------------------------------------- bloom shards
+
+    def read_bloom_shards(self, r: int | None = None) -> DataFrame | None:
+        """Persisted seen-set Bloom shards of round ``r`` (None if that
+        round predates shard persistence — caller rebuilds once)."""
+        r = self.latest_round() if r is None else r
+        if r is None:
+            return None
+        path = os.path.join(self._round_dir(r), "bloom_shards")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            return None
+        return self.spark.read.parquet(path)
+
+    def bloom_shard_stats(self, r: int | None = None) -> list[dict]:
+        """Per-bucket (bucket, m, k, n_keys) — read driver-side from the
+        parquet columns WITHOUT touching the ``bits`` blobs and without a
+        Spark job (32 tiny rows; used for the saturation/rebuild rule)."""
+        import pyarrow.parquet as pq
+
+        r = self.latest_round() if r is None else r
+        if r is None:
+            return []
+        path = os.path.join(self._round_dir(r), "bloom_shards")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            return []
+        out = []
+        for name in os.listdir(path):
+            if not name.endswith(".parquet"):
+                continue
+            t = pq.read_table(os.path.join(path, name),
+                              columns=["bucket", "m", "k", "n_keys"])
+            out.extend(t.to_pylist())
+        return out
+
+    # --------------------------------------------------- seen ledger
+
+    def _seen_base_round(self, upto: int | None = None) -> int | None:
+        """Highest compacted base round <= upto (None = no base)."""
+        base_dir = os.path.join(self.dir, "seen_base")
+        if not os.path.isdir(base_dir):
+            return None
+        best = None
+        for name in os.listdir(base_dir):
+            m = re.match(r"^base=(\d+)$", name)
+            if not m:
+                continue
+            r = int(m.group(1))
+            if not os.path.exists(os.path.join(base_dir, name, "_SUCCESS")):
+                continue
+            if (upto is None or r <= upto) and (best is None or r > best):
+                best = r
+        return best
+
+    def compact_seen(self, upto: int | None = None) -> int | None:
+        """Fold the per-round ``seen_delta`` ledger into one bucketed base
+        table (promised by the module docstring; the Iceberg analog is a
+        snapshot-compaction/rewrite). After compaction ``read_seen`` reads
+        base + tail deltas only, so round-R read cost stops growing with
+        R. Crash-safe: written to a temp dir, renamed into place (rename
+        = commit), older bases removed after.
+
+        Returns the new base round (None if nothing to compact).
+        """
+        import shutil
+
+        upto = self.latest_round() if upto is None else upto
+        if upto is None:
+            return None
+        prev = self._seen_base_round(upto)
+        if prev == upto:
+            return prev
+        base_dir = os.path.join(self.dir, "seen_base")
+        os.makedirs(base_dir, exist_ok=True)
+        tmp = os.path.join(base_dir, f"_tmp_base_{upto}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        # repartition by url_hash: the base lands bucketed on the probe
+        # key, so downstream anti-joins co-partition without a re-shuffle
+        self.read_seen(upto).repartition("url_hash").write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        final = os.path.join(base_dir, f"base={upto}")
+        shutil.rmtree(final, ignore_errors=True)
+        os.rename(tmp, final)
+        for name in os.listdir(base_dir):
+            m = re.match(r"^base=(\d+)$", name)
+            if m and int(m.group(1)) < upto:
+                shutil.rmtree(os.path.join(base_dir, name), ignore_errors=True)
+        return upto
+
     def read_seen(self, upto: int | None = None) -> DataFrame:
-        return self._read_deltas("seen_delta", upto, SEEN_SCHEMA).distinct()
+        """Seen membership set as of round ``upto``: compacted base (if
+        any) + the delta tail after it. Deltas are pairwise disjoint by
+        construction (children are deduped against the seen set before
+        commit), so no distinct() — the old distinct-over-all-rounds form
+        re-shuffled the whole ledger every round."""
+        base_r = self._seen_base_round(upto)
+        rounds = [r for r in self.committed_rounds()
+                  if (upto is None or r <= upto)
+                  and (base_r is None or r > base_r)]
+        parts = []
+        if base_r is not None:
+            parts.append(os.path.join(self.dir, "seen_base", f"base={base_r}"))
+        parts.extend(os.path.join(self._round_dir(r), "seen_delta")
+                     for r in rounds)
+        if not parts:
+            return self.spark.createDataFrame([], SEEN_SCHEMA)
+        return self.spark.read.schema(SEEN_SCHEMA).parquet(*parts)
 
     def read_fetch_log(self, upto: int | None = None) -> DataFrame:
         return self._read_deltas("fetch_log", upto, FETCH_LOG_SCHEMA)

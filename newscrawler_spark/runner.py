@@ -165,8 +165,17 @@ def run_crawl(
         empty_articles = spark.createDataFrame([], ARTICLES_SCHEMA)
         empty_log = spark.createDataFrame([], FETCH_LOG_SCHEMA)
         empty_counters = spark.createDataFrame([], COUNTERS_SCHEMA)
-        state.commit_round(0, boot, boot.select("url_hash"), empty_log,
-                           empty_articles, empty_counters)
+        boot = boot.persist()
+        state.commit_round(
+            0, boot, boot.select("url_hash"), empty_log,
+            empty_articles, empty_counters,
+            bloom_shards=(
+                SN.build_bloom_shards(boot.select("url_hash"), cfg)
+                if use_bloom else None
+            ),
+            bloom_mode="rebuild",
+        )
+        boot.unpersist()
         last = 0
 
     seed_crawlers = _localize(
@@ -180,6 +189,11 @@ def run_crawl(
 
         if _parquet_rows(f"{state_dir}/robots_rules") <= 200_000:
             robots_rules = _localize(spark, robots_rules)
+
+    # Persisted Bloom shards: read the snapshot committed with the last
+    # round (covers seen(last)); None on a pre-shard-format state dir —
+    # rebuilt once below, then maintained incrementally.
+    shards = state.read_bloom_shards(last) if use_bloom else None
 
     rounds_run = 0
     r = last
@@ -278,8 +292,22 @@ def run_crawl(
         # discovery pipeline
         gated_children = children.persist()
         seen_df = state.read_seen(r - 1)
+        bloom_mode = None
         if use_bloom:
-            children = SN.bloom_dedup(gated_children, seen_df, cfg)
+            # O(|delta|) maintenance: probe the persisted shards; rebuild
+            # from the full seen set ONLY when absent (legacy state dir)
+            # or past the saturation rule — at 10^10 URLs the difference
+            # is a ~12 GB shard fold vs re-hashing the whole ledger.
+            if shards is None or SN.shards_saturated(
+                state.bloom_shard_stats(r - 1), cfg.bloom_bits_per_key
+            ):
+                shards = SN.build_bloom_shards(seen_df, cfg)
+                bloom_mode = "rebuild"
+            else:
+                bloom_mode = "incremental"
+            children = SN.bloom_dedup_with_shards(
+                gated_children, seen_df, shards, cfg
+            )
         else:
             children = FR.dedup_against_seen(gated_children, seen_df)
 
@@ -324,7 +352,19 @@ def run_crawl(
         man = state.commit_round(
             r, new_frontier, children.select("url_hash"), fetch_log, articles,
             counters_builder=build_counters,
+            bloom_shards=(
+                SN.update_bloom_shards(shards, children.select("url_hash"), cfg)
+                if use_bloom else None
+            ),
+            bloom_mode=bloom_mode,
         )
+        if use_bloom:
+            # re-read the committed shards: keeps lineage flat (no
+            # cogroup-of-cogroup chains across rounds) and makes resume
+            # and the in-loop state read the same bytes
+            shards = state.read_bloom_shards(r)
+        if cfg.compact_seen_every and r % cfg.compact_seen_every == 0:
+            state.compact_seen(r)
         n_sched = man["row_counts"]["fetch_log"]
         frames = [cand, fetch_log, children, articles, gated_children]
         if processed is not None:
