@@ -145,10 +145,28 @@ class CrawlState:
         if bloom_shards is not None:
             tables["bloom_shards"] = bloom_shards
         counts = {}
-        for name, df in tables.items():
+        phase_log = os.environ.get("SPARK_GRAFT_PHASE_LOG") == "1"
+
+        def write_one(name: str, df: DataFrame) -> None:
             path = os.path.join(rd, name)
+            t0 = time.monotonic()
             df.write.mode("overwrite").parquet(path)
             counts[name] = _parquet_rows(path)
+            if phase_log:
+                import sys
+
+                print(f"[phase]   write {name}: "
+                      f"{time.monotonic() - t0:.2f}s", file=sys.stderr)
+
+        # frontier first: its plan contains the whole round pipeline and
+        # materializes the shared caches (processed/children/fetch_log);
+        # the remaining writes are then cache scans. Measured: issuing
+        # them as concurrent jobs (ThreadPoolExecutor) was ~15% SLOWER at
+        # local[16] — the overlapped Arrow cogroup + cache scans contend
+        # for the same python workers and memory bandwidth — so they stay
+        # sequential.
+        for name in list(tables):
+            write_one(name, tables.pop(name))
         if counters is None:
             counters = counters_builder(counts)
         cpath = os.path.join(rd, "counters")
@@ -314,6 +332,34 @@ class CrawlState:
         from newscrawler_spark.operators.extract import with_is_current
 
         return with_is_current(self.read_articles(upto)).where(F.col("is_current"))
+
+
+def make_state(
+    spark: SparkSession,
+    state_dir: str,
+    run_id: str = "run",
+    backend: str = "auto",
+    catalog: str = "crawl",
+):
+    """TableIO factory (SURVEY.md §7.5 two-backend split).
+
+    ``backend="auto"`` picks Iceberg when a usable Iceberg catalog named
+    ``catalog`` exists in the session (runtime jar + extensions + conf —
+    see operators/store_iceberg.py for the spark-submit incantation) and
+    falls back to the parquet+manifest backend otherwise (this sandbox:
+    no jars resolve offline). Both expose the same surface: commit_round
+    / read_* / bloom shards / compact_seen / manifests.
+    """
+    if backend == "auto":
+        from newscrawler_spark.operators.store_iceberg import iceberg_available
+
+        backend = "iceberg" if iceberg_available(spark, catalog) else "parquet"
+    if backend == "iceberg":
+        from newscrawler_spark.operators.store_iceberg import IcebergCrawlState
+
+        ns = re.sub(r"[^A-Za-z0-9_]", "_", state_dir.strip("/"))
+        return IcebergCrawlState(spark, ns, run_id=run_id, catalog=catalog)
+    return CrawlState(spark, state_dir, run_id=run_id)
 
 
 def rss_recrawl_compare(

@@ -1,0 +1,295 @@
+"""Iceberg backend of the crawl-state store (SURVEY.md §7.5 TableIO split).
+
+Same interface and commit semantics as the parquet+manifest
+``CrawlState`` (operators/store.py) expressed over an Iceberg catalog:
+
+- every state table (frontier / seen_delta / fetch_log / articles_delta
+  / bloom_shards / counters) is an Iceberg table partitioned by
+  ``fetch_round`` where applicable;
+- a round is durable iff a row for it exists in the ``rounds`` marker
+  table, appended LAST — Iceberg appends are atomic snapshot commits, so
+  the marker append is the commit point, exactly the role the renamed
+  ``_MANIFEST.json`` plays in the parquet backend. A kill between data
+  appends and the marker append leaves orphan rows that every reader
+  filters out by joining committed rounds (the Iceberg analog of a torn
+  manifest-less directory);
+- F2 versioning uses ``MERGE INTO`` on an ``articles_current`` table
+  instead of the window-over-deltas view;
+- ``compact_seen`` maps to MERGE INTO a ``seen_base`` table + deleting
+  folded delta partitions (one snapshot each).
+
+Activation: no Iceberg runtime jar resolves offline in this sandbox, so
+:func:`iceberg_available` probes the session and the factory
+(:func:`make_state` in store.py) falls back to the parquet backend;
+tests/test_store_backends.py runs the same contract suite against both,
+skipping Iceberg with a reason when the probe fails. On a real cluster
+submit with
+
+    spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver>
+      --conf spark.sql.extensions=org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions
+      --conf spark.sql.catalog.crawl=org.apache.iceberg.spark.SparkCatalog
+      --conf spark.sql.catalog.crawl.type=hadoop
+      --conf spark.sql.catalog.crawl.warehouse=<path>
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from newscrawler_spark.operators.store import (
+    COUNTERS_SCHEMA,
+    FETCH_LOG_SCHEMA,
+    FRONTIER_SCHEMA,
+    SEEN_SCHEMA,
+)
+
+ROUNDS_SCHEMA = "run_id string, round int, committed_at double"
+
+
+def iceberg_available(spark: SparkSession, catalog: str = "crawl") -> bool:
+    """True iff an Iceberg catalog named ``catalog`` is usable in this
+    session (extensions + runtime jar + catalog conf all present)."""
+    try:
+        impl = spark.conf.get(f"spark.sql.catalog.{catalog}", None)
+    except Exception:  # noqa: BLE001
+        impl = None
+    if not impl:
+        return False
+    try:
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.state")
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+class IcebergCrawlState:
+    """Iceberg-catalog backend — drop-in for :class:`CrawlState`."""
+
+    def __init__(self, spark: SparkSession, namespace: str,
+                 run_id: str = "run", catalog: str = "crawl"):
+        self.spark = spark
+        self.run_id = run_id
+        self.ns = f"{catalog}.{namespace}"
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.ns}")
+        self._ensure_tables()
+
+    # ------------------------------------------------------------ DDL
+
+    def _ensure_tables(self) -> None:
+        from newscrawler_spark.operators.extract import ARTICLES_SCHEMA
+        from newscrawler_spark.operators.seen import SHARD_SCHEMA
+
+        ddl = {
+            "rounds": (ROUNDS_SCHEMA, None),
+            "frontier": (FRONTIER_SCHEMA + ", fetch_round int", "fetch_round"),
+            "seen_delta": (SEEN_SCHEMA + ", fetch_round int", "fetch_round"),
+            "fetch_log": (FETCH_LOG_SCHEMA, "fetch_round"),
+            "articles_delta": (ARTICLES_SCHEMA + ", fetch_round int",
+                               "fetch_round"),
+            "bloom_shards": (SHARD_SCHEMA + ", fetch_round int", "fetch_round"),
+            "counters": (COUNTERS_SCHEMA, "fetch_round"),
+            "articles_current": (ARTICLES_SCHEMA, None),
+            "seen_base": (SEEN_SCHEMA, None),
+        }
+        for name, (schema, part) in ddl.items():
+            cols = ", ".join(schema.split(", "))
+            partition = f" PARTITIONED BY ({part})" if part else ""
+            self.spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {self.ns}.{name} ({cols}) "
+                f"USING iceberg{partition}"
+            )
+
+    # --------------------------------------------------------- rounds
+
+    def committed_rounds(self) -> list[int]:
+        rows = self.spark.table(f"{self.ns}.rounds").select("round").collect()
+        return sorted(r.round for r in rows)
+
+    def latest_round(self) -> int | None:
+        rounds = self.committed_rounds()
+        return rounds[-1] if rounds else None
+
+    def _committed(self, df: DataFrame) -> DataFrame:
+        """Filter a state table to committed rounds only — uncommitted
+        appends (torn commits) become invisible, like manifest-less dirs."""
+        committed = self.spark.table(f"{self.ns}.rounds").select("round")
+        return df.join(
+            F.broadcast(committed),
+            df["fetch_round"] == committed["round"], "left_semi"
+        )
+
+    # --------------------------------------------------------- commit
+
+    def commit_round(
+        self,
+        r: int,
+        frontier: DataFrame,
+        seen_delta: DataFrame,
+        fetch_log: DataFrame,
+        articles_delta: DataFrame,
+        counters: DataFrame | None = None,
+        counters_builder=None,
+        bloom_shards: DataFrame | None = None,
+        bloom_mode: str | None = None,
+    ) -> dict:
+        rd = F.lit(r).cast("int").alias("fetch_round")
+        writes = {
+            "frontier": frontier.withColumn("fetch_round", rd),
+            "seen_delta": seen_delta.select("url_hash").withColumn(
+                "fetch_round", rd),
+            "fetch_log": fetch_log,
+            "articles_delta": articles_delta.withColumn("fetch_round", rd),
+        }
+        if bloom_shards is not None:
+            # shards are a full snapshot per round: replace, not append
+            writes["bloom_shards"] = bloom_shards.withColumn("fetch_round", rd)
+        counts = {}
+        for name, df in writes.items():
+            df.writeTo(f"{self.ns}.{name}").append()
+            counts[name] = (
+                self.spark.table(f"{self.ns}.{name}")
+                .where(F.col("fetch_round") == r).count()
+            )
+        if counters is None:
+            counters = counters_builder(counts)
+        counters.writeTo(f"{self.ns}.counters").append()
+        counts["counters"] = 1
+        # F2: fold this round's articles into the current-versions table
+        self.merge_articles_current(articles_delta)
+        # THE commit point: marker append (atomic Iceberg snapshot)
+        self.spark.createDataFrame(
+            [(self.run_id, r, time.time())], ROUNDS_SCHEMA
+        ).writeTo(f"{self.ns}.rounds").append()
+        man = {"run_id": self.run_id, "round": r, "row_counts": counts}
+        if bloom_shards is not None:
+            man["bloom"] = {"mode": bloom_mode or "unknown",
+                            "delta_rows": counts["seen_delta"]}
+        self._manifests = getattr(self, "_manifests", {})
+        self._manifests[r] = man
+        return man
+
+    def manifest(self, r: int) -> dict:
+        man = getattr(self, "_manifests", {}).get(r)
+        if man is not None:
+            return man
+        counts = {}
+        for name in ("frontier", "seen_delta", "fetch_log", "articles_delta"):
+            counts[name] = (
+                self.spark.table(f"{self.ns}.{name}")
+                .where(F.col("fetch_round") == r).count()
+            )
+        return {"run_id": self.run_id, "round": r, "row_counts": counts}
+
+    # ----------------------------------------------------------- merge
+
+    def merge_articles_current(self, articles_delta: DataFrame) -> None:
+        """F2 current/archive move as a real MERGE INTO: newest version
+        per url_hash wins (download_date, warc_ts, url tie-break — the
+        same ordering as extract.with_is_current)."""
+        articles_delta.createOrReplaceTempView("_art_delta")
+        self.spark.sql(f"""
+            MERGE INTO {self.ns}.articles_current t
+            USING (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY url_hash
+                        ORDER BY download_date DESC, warc_ts DESC, url ASC
+                    ) AS __rn FROM _art_delta
+                ) WHERE __rn = 1
+            ) s
+            ON t.url_hash = s.url_hash
+            WHEN MATCHED AND (s.download_date > t.download_date
+                  OR (s.download_date = t.download_date
+                      AND s.warc_ts > t.warc_ts)) THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+        """)
+
+    # ----------------------------------------------------------- reads
+
+    def read_frontier(self, r: int | None = None) -> DataFrame:
+        r = self.latest_round() if r is None else r
+        if r is None:
+            return self.spark.createDataFrame([], FRONTIER_SCHEMA)
+        return (
+            self.spark.table(f"{self.ns}.frontier")
+            .where(F.col("fetch_round") == r).drop("fetch_round")
+        )
+
+    def read_seen(self, upto: int | None = None) -> DataFrame:
+        df = self.spark.table(f"{self.ns}.seen_delta")
+        if upto is not None:
+            df = df.where(F.col("fetch_round") <= upto)
+        base = self.spark.table(f"{self.ns}.seen_base")
+        return self._committed(df).drop("fetch_round").unionByName(base)
+
+    def read_fetch_log(self, upto: int | None = None) -> DataFrame:
+        df = self.spark.table(f"{self.ns}.fetch_log")
+        if upto is not None:
+            df = df.where(F.col("fetch_round") <= upto)
+        return self._committed(df)
+
+    def read_articles(self, upto: int | None = None) -> DataFrame:
+        df = self.spark.table(f"{self.ns}.articles_delta")
+        if upto is not None:
+            df = df.where(F.col("fetch_round") <= upto)
+        return self._committed(df).drop("fetch_round")
+
+    def read_counters(self, upto: int | None = None) -> DataFrame:
+        df = self.spark.table(f"{self.ns}.counters")
+        if upto is not None:
+            df = df.where(F.col("fetch_round") <= upto)
+        return self._committed(df)
+
+    def read_bloom_shards(self, r: int | None = None) -> DataFrame | None:
+        r = self.latest_round() if r is None else r
+        if r is None:
+            return None
+        df = (
+            self.spark.table(f"{self.ns}.bloom_shards")
+            .where(F.col("fetch_round") == r).drop("fetch_round")
+        )
+        return df if df.take(1) else None
+
+    def bloom_shard_stats(self, r: int | None = None) -> list[dict]:
+        r = self.latest_round() if r is None else r
+        if r is None:
+            return []
+        rows = (
+            self.spark.table(f"{self.ns}.bloom_shards")
+            .where(F.col("fetch_round") == r)
+            .select("bucket", "m", "k", "n_keys").collect()
+        )
+        return [row.asDict() for row in rows]
+
+    def articles_current(self, upto: int | None = None) -> DataFrame:
+        if upto is None:
+            return self.spark.table(f"{self.ns}.articles_current")
+        from newscrawler_spark.operators.extract import with_is_current
+
+        return with_is_current(self.read_articles(upto)).where("is_current")
+
+    # ------------------------------------------------------ compaction
+
+    def compact_seen(self, upto: int | None = None) -> int | None:
+        """Fold committed seen_delta partitions <= upto into seen_base
+        (MERGE keeps it a set), then drop the folded partitions — each
+        statement is one atomic Iceberg snapshot, crash-ordering-safe
+        (a crash between them only leaves already-merged deltas that the
+        next fold re-merges idempotently)."""
+        upto = self.latest_round() if upto is None else upto
+        if upto is None:
+            return None
+        self.spark.sql(f"""
+            MERGE INTO {self.ns}.seen_base t
+            USING (SELECT DISTINCT url_hash FROM {self.ns}.seen_delta
+                   WHERE fetch_round <= {upto}) s
+            ON t.url_hash = s.url_hash
+            WHEN NOT MATCHED THEN INSERT *
+        """)
+        self.spark.sql(
+            f"DELETE FROM {self.ns}.seen_delta WHERE fetch_round <= {upto}"
+        )
+        return upto

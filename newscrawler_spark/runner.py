@@ -41,6 +41,31 @@ from newscrawler_spark.operators.store import (
     CrawlState,
 )
 
+import os as _os
+
+_PHASE_LOG = _os.environ.get("SPARK_GRAFT_PHASE_LOG") == "1"
+
+
+class _phase:
+    """Coarse driver-side phase timer (enabled by SPARK_GRAFT_PHASE_LOG=1):
+    prints wall per labeled block to stderr — used to size the serial /
+    per-round-constant fraction that caps strong scaling."""
+
+    def __init__(self, label: str):
+        self.label = label
+
+    def __enter__(self):
+        self.t0 = time.monotonic()
+        return self
+
+    def __exit__(self, *exc):
+        if _PHASE_LOG:
+            import sys as _sys
+
+            print(f"[phase] {self.label}: "
+                  f"{time.monotonic() - self.t0:.2f}s", file=_sys.stderr)
+        return False
+
 
 def enrich_pages(pages: DataFrame) -> DataFrame:
     """A3 prep — canon/hash/host columns + duplicate-variant collapse.
@@ -130,7 +155,9 @@ def run_crawl(
     """EP1 — full crawl (resumes automatically from the last committed
     round in ``state_dir``; see tests/test_resume.py)."""
     use_bloom = cfg.use_bloom_prefilter if use_bloom is None else use_bloom
-    state = CrawlState(spark, state_dir, run_id=run_id)
+    from newscrawler_spark.operators.store import make_state
+
+    state = make_state(spark, state_dir, run_id=run_id)
 
     pages_dir = f"{state_dir}/pages_enriched"
     last = state.latest_round()
@@ -201,7 +228,8 @@ def run_crawl(
         r += 1
         t0 = time.monotonic()
         frontier = state.read_frontier(r - 1)
-        if frontier.isEmpty():
+        man_prev = state.manifest(r - 1)
+        if man_prev["row_counts"]["frontier"] == 0:
             r -= 1
             break
 
@@ -213,7 +241,24 @@ def run_crawl(
         # pages table is STREAMED — a plain left join SMJ would shuffle
         # the whole corpus (html bytes included) EVERY round. Misses
         # (404s) are recovered with a cheap anti-join on the small side.
-        cand = cand.persist()
+        mat = cfg.materialize_candidates
+        if mat is None:
+            # auto: the write pays off once the schedule window's input is
+            # big enough that re-walking it per broadcast build dominates
+            # the extra job; frontier size comes free from the manifest
+            mat = (man_prev["row_counts"]["frontier"]
+                   > cfg.materialize_candidates_rows)
+        if mat:
+            # one parallel write, then every broadcast build is a cheap
+            # columnar re-scan — without this, each consuming action's
+            # broadcast subjob re-walks the window/cache lineage (profiled
+            # as the second-largest task-time bucket in the bulk round)
+            with _phase("schedule+cand_write"):
+                cand_path = f"{state_dir}/scratch_cand"
+                cand.write.mode("overwrite").parquet(cand_path)
+                cand = spark.read.parquet(cand_path)
+        else:
+            cand = cand.persist()
         page_cols = pages_e.select(
             "url_hash", F.col("url").alias("page_url"), "warc_ts", "html", "lang"
         )
@@ -330,9 +375,10 @@ def run_crawl(
         # ---- counters: one Spark agg job (n_ok + bytes off the cached
         # fetched set); every row count comes free from the parquet
         # footers of the committed tables via counters_builder
-        ok_stats = hit.agg(
-            F.count(F.lit(1)).alias("n"), F.sum(F.length("html")).alias("b")
-        ).first()
+        with _phase("hit_materialize+stats"):
+            ok_stats = hit.agg(
+                F.count(F.lit(1)).alias("n"), F.sum(F.length("html")).alias("b")
+            ).first()
 
         def build_counters(counts: dict):
             n_sched = counts["fetch_log"]
@@ -349,22 +395,24 @@ def run_crawl(
                 COUNTERS_SCHEMA,
             )
 
-        man = state.commit_round(
-            r, new_frontier, children.select("url_hash"), fetch_log, articles,
-            counters_builder=build_counters,
-            bloom_shards=(
-                SN.update_bloom_shards(shards, children.select("url_hash"), cfg)
-                if use_bloom else None
-            ),
-            bloom_mode=bloom_mode,
-        )
+        with _phase("commit_round"):
+            man = state.commit_round(
+                r, new_frontier, children.select("url_hash"), fetch_log, articles,
+                counters_builder=build_counters,
+                bloom_shards=(
+                    SN.update_bloom_shards(shards, children.select("url_hash"), cfg)
+                    if use_bloom else None
+                ),
+                bloom_mode=bloom_mode,
+            )
         if use_bloom:
             # re-read the committed shards: keeps lineage flat (no
             # cogroup-of-cogroup chains across rounds) and makes resume
             # and the in-loop state read the same bytes
             shards = state.read_bloom_shards(r)
         if cfg.compact_seen_every and r % cfg.compact_seen_every == 0:
-            state.compact_seen(r)
+            with _phase("compact_seen"):
+                state.compact_seen(r)
         n_sched = man["row_counts"]["fetch_log"]
         frames = [cand, fetch_log, children, articles, gated_children]
         if processed is not None:
