@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "q35_ann_topk",
     "q36_quality_stats",
     "q37_langid",
+    "q41_ann_lsh_topk",
 ]
 
 

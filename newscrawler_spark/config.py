@@ -51,6 +51,15 @@ class CrawlConfig:
     # measured); turn on when a round's html payload outsizes executor
     # memory (compression + column pruning beat cache eviction there).
     scratch_fetched: bool = False
+    # materialize each round's scheduled candidate set to scratch parquet
+    # before the fetch join: every broadcast consumer then builds from a
+    # cheap columnar scan instead of re-deriving (or cache-scanning) the
+    # schedule window; also decouples the window's lineage from every
+    # downstream job. Costs one write job per round, so None = auto:
+    # materialize only when the previous round's frontier (known free
+    # from its manifest) exceeds materialize_candidates_rows.
+    materialize_candidates: bool | None = None
+    materialize_candidates_rows: int = 150_000
 
     # scale path (J / §5.3)
     hot_host_threshold: int = 50_000  # rows/host above which we salt

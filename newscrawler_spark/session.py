@@ -39,6 +39,24 @@ def get_spark(
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cores)
         shuffle_partitions = cores if n == "*" else int(n)
 
+    # GC by executor width (overridable via SPARK_GRAFT_GC):
+    # - narrow (<8 task threads): ParallelGC — throughput collector wins
+    #   when cores are scarce (ZGC's concurrent threads would steal them);
+    # - wide (>=8): ZGC — stop-the-world collections of the throughput
+    #   collectors pause ALL task threads at once, and that coupling cost
+    #   grows with width (measured: local[16] bulk round 65s ParallelGC →
+    #   46s ZGC at 12g). On a real cluster each executor JVM is narrow
+    #   (4-8 cores) and tunes independently; this mirrors that choice.
+    try:
+        inner = master[master.find("[") + 1 : master.find("]")].split(",")
+        # local[W] → W; local-cluster[n,W,mem] → per-executor W
+        width = int(inner[1] if master.startswith("local-cluster") else inner[0])
+    except (ValueError, IndexError):
+        width = cores
+    gc_flag = os.environ.get(
+        "SPARK_GRAFT_GC",
+        "-XX:+UseZGC" if width >= 8 else "-XX:+UseParallelGC",
+    )
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -51,13 +69,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # html blobs are KB-sized; 2048 rows/batch keeps Arrow batches ~10s of MB
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        # ParallelGC: measured 1.6x faster than the JDK-17 default G1 on
-        # the allocation-heavy Arrow/html workload at high thread counts
-        # (G1's concurrent cycles throttled 16-32 task threads; bigger
-        # heaps made it WORSE). Throughput collector fits batch jobs.
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
-        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+        # 12g: the bulk-round working set (columnar caches of the fetched
+        # set + fused process output) fits with headroom — 8g thrashed
+        # ZGC into allocation stalls, 20g+ slowed the throughput
+        # collectors' full collections
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
+        .config("spark.driver.extraJavaOptions", gc_flag)
+        .config("spark.executor.extraJavaOptions", gc_flag)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
