@@ -35,9 +35,16 @@ SMOKE_CFG = CrawlConfig(per_host_budget=40, max_depth=3, round_seconds=1000.0)
 
 
 def tier_for(sf_dir: str) -> str:
-    if "0.001" in sf_dir:
-        return "smoke"
-    return "correctness"  # sf0.01 AND sf0.1 share the correctness cache
+    """Fixture-cache tier for the CRAWL CONTRACT queries (q20-q26).
+
+    Always 'correctness': the oracle SQL strings are generated at import
+    with read_parquet paths pinned to the correctness cache, so the
+    engine side must read the SAME tier no matter which sf_dir the
+    driver passes — a smoke-tier engine run against a correctness-tier
+    oracle would silently compare different datasets. The smoke cache
+    remains for entry()/tests, which never go through the oracle
+    compare."""
+    return "correctness"
 
 
 def cache_dir(tier: str) -> str:

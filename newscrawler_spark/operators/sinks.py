@@ -26,19 +26,35 @@ from pyspark.sql import functions as F
 from newscrawler_spark.functions.discover_core import PRIO_SEED
 from newscrawler_spark.operators import frontier as FR
 
-_TOKEN_RE = re.compile(r"%(md5_url|domain|timestamp_download|url_file_name|max_url_file_name)")
+_TOKEN_RE = re.compile(
+    r"%(md5_url|domain|timestamp_download|time_execution|url_file_name|"
+    r"max_url_file_name)"
+)
 
 MAX_FILENAME = 255  # classic FS component limit the reference truncates to
 
 
 def savepath_expr(template: str, url_col: str = "url",
-                  download_col: str = "download_date") -> Column:
+                  download_col: str = "download_date",
+                  execution_ts: "str | None" = None) -> Column:
     """H1 — compile a savepath template into ONE concat expression.
 
     Supported tokens: ``%md5_url`` ``%domain`` ``%timestamp_download``
     ``%url_file_name`` ``%max_url_file_name`` (basename truncated to the
     filesystem limit). Everything stays inside whole-stage codegen.
+
+    Edge rules: an empty template renders as '' (not IndexError), and a
+    URL ending in '/' falls back to ``index`` + the url md5 for its
+    basename (the reference's name-from-url behavior never emits an
+    empty file name).
     """
+
+    def basename() -> Column:
+        raw = F.element_at(F.split(F.col(url_col), "/"), -1)
+        return F.when(
+            raw == "", F.concat(F.lit("index-"), F.md5(F.col(url_col)))
+        ).otherwise(raw)
+
     parts: list[Column] = []
     pos = 0
     for m in _TOKEN_RE.finditer(template):
@@ -53,14 +69,22 @@ def savepath_expr(template: str, url_col: str = "url",
             parts.append(host_expr(url_col))
         elif tok == "timestamp_download":
             parts.append(F.date_format(F.col(download_col), "yyyyMMddHHmmss"))
+        elif tok == "time_execution":
+            # job-start wall time, fixed per run (reference: SavepathParser
+            # %time_execution) — a literal so every row shares one value
+            import datetime as _dt
+
+            ts = execution_ts or _dt.datetime.now().strftime("%Y%m%d%H%M%S")
+            parts.append(F.lit(ts))
         elif tok == "url_file_name":
-            parts.append(F.element_at(F.split(F.col(url_col), "/"), -1))
+            parts.append(basename())
         elif tok == "max_url_file_name":
-            base = F.element_at(F.split(F.col(url_col), "/"), -1)
-            parts.append(F.substring(base, 1, MAX_FILENAME))
+            parts.append(F.substring(basename(), 1, MAX_FILENAME))
         pos = m.end()
     if pos < len(template):
         parts.append(F.lit(template[pos:]))
+    if not parts:
+        return F.lit("")
     return F.concat(*parts) if len(parts) > 1 else parts[0]
 
 

@@ -29,16 +29,38 @@ from newscrawler_spark.operators.extract import extract_articles
 from newscrawler_spark.operators.store import CrawlState, rss_recrawl_compare
 
 
+# RFC-822 §5.1 named North-American zones → numeric offsets (the only
+# named zones the grammar defines besides UT/GMT and military letters)
+_NA_ZONES = {"EST": "-0500", "EDT": "-0400", "CST": "-0600", "CDT": "-0500",
+             "MST": "-0700", "MDT": "-0600", "PST": "-0800", "PDT": "-0700"}
+
+
 def _pubdate_expr():
-    """RFC-822 pubDate → timestamp. Spark's new datetime parser rejects
-    day-of-week ('EEE') in *parse* patterns, so strip the weekday prefix
-    and the GMT suffix (session tz is pinned UTC) before to_timestamp."""
-    cleaned = F.regexp_replace(
-        F.regexp_replace(F.col("pub_date_raw"), r"^[A-Za-z]{3},\s*", ""),
-        r"\s*(GMT|UTC|\+0000)$",
-        "",
+    """RFC-822 pubDate → timestamp, tolerant of the zone forms feeds
+    actually emit. Spark's new datetime parser rejects day-of-week
+    ('EEE') in *parse* patterns, so the weekday prefix is stripped; then:
+
+    - GMT/UT/UTC/Z suffixes → parse as UTC (session tz is pinned UTC);
+    - numeric offsets (+0130, -0500) → parsed with the 'Z' pattern;
+    - RFC-822 named NA zones (EST…PDT) → mapped to their offsets first
+      (previously any non-UTC zone made to_timestamp return NULL and the
+      strict-newer compare silently dropped genuinely changed items);
+    - seconds optional ('d' also accepts 1-digit day-of-month).
+
+    try_to_timestamp keeps unparseable leftovers NULL instead of raising
+    under ANSI mode.
+    """
+    raw = F.regexp_replace(F.col("pub_date_raw"), r"^[A-Za-z]{3},\s*", "")
+    no_name = F.regexp_replace(raw, r"\s+(GMT|UT|UTC|Z)$", "")
+    mapped = raw
+    for name, off in _NA_ZONES.items():
+        mapped = F.regexp_replace(mapped, rf"\s+{name}$", f" {off}")
+    return F.coalesce(
+        F.try_to_timestamp(no_name, F.lit("d MMM yyyy HH:mm:ss")),
+        F.try_to_timestamp(no_name, F.lit("d MMM yyyy HH:mm")),
+        F.try_to_timestamp(mapped, F.lit("d MMM yyyy HH:mm:ss Z")),
+        F.try_to_timestamp(mapped, F.lit("d MMM yyyy HH:mm Z")),
     )
-    return F.to_timestamp(cleaned, "dd MMM yyyy HH:mm:ss")
 
 
 def _stamp_modified(articles: DataFrame, changed: DataFrame) -> DataFrame:
@@ -140,7 +162,8 @@ def recrawl_rss_stream(
             "html", "lang",
         )
         articles = _stamp_modified(extract_articles(fetched), changed).persist()
-        if articles.count() > 0:
+        n = articles.count()
+        if n > 0:
             from newscrawler_spark.operators.store import (
                 COUNTERS_SCHEMA,
                 FETCH_LOG_SCHEMA,
@@ -149,8 +172,7 @@ def recrawl_rss_stream(
             state_box["round"] += 1
             r = state_box["round"]
             counters = spark.createDataFrame(
-                [("rss-stream", r, articles.count(), 0, 0, 0,
-                  articles.count(), 0, 0)],
+                [("rss-stream", r, n, 0, 0, 0, n, 0, 0)],
                 COUNTERS_SCHEMA,
             )
             state.commit_round(

@@ -115,6 +115,28 @@ def test_bloom_run_identical(spark, smoke_pages, smoke_seeds, engine_result):
         assert {r.url_hash for r in res.state.read_seen().collect()} == engine_result["seen"]
 
 
+@pytest.mark.parametrize("overrides", [
+    {"fused_pipeline": False},
+    {"scratch_fetched": True},
+    {"broadcast_fetch_join": False},
+    {"materialize_candidates": True},
+])
+def test_nondefault_config_branches_identical(spark, smoke_pages, smoke_seeds,
+                                              engine_result, overrides):
+    """Every physical-strategy toggle (unfused stats→gate→extract→discover
+    chain, scratch-parquet fetched set, shuffle fetch join, forced
+    candidate materialization) must reproduce the default run's fetch
+    log and seen set exactly — these branches previously had no e2e
+    wiring test."""
+    cfg = CFG.with_overrides(**overrides)
+    with tempfile.TemporaryDirectory(prefix="crawl_cfgbr_") as d:
+        res = run_crawl(spark, smoke_pages, smoke_seeds, d, cfg,
+                        max_rounds=30, use_bloom=False)
+        assert _engine_log(res.state) == engine_result["log"], overrides
+        assert {r.url_hash for r in res.state.read_seen().collect()} == \
+            engine_result["seen"], overrides
+
+
 def test_global_batch_cut(spark, smoke_pages, smoke_seeds, smoke_pages_pd, smoke_seeds_pd):
     """A small global batch_size truncates each round identically."""
     cfg = CrawlConfig(per_host_budget=5, max_depth=3, batch_size=7)

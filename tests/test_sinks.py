@@ -59,3 +59,19 @@ def test_write_articles_json(spark, tmp_path):
     r = back.first()
     assert r.article_text == "body"
     assert r.local_path.endswith(".json") and r.local_path.count("/") >= 0
+
+
+def test_savepath_edge_cases(spark):
+    """Empty template renders '' (no IndexError); a trailing-slash URL
+    gets a deterministic index-<md5> basename instead of ''."""
+    from newscrawler_spark.operators.sinks import savepath_expr
+
+    df = spark.createDataFrame(
+        [("http://h.example/a/",)], "url string"
+    ).withColumn("download_date", F.current_timestamp())
+    p = df.select(savepath_expr("%url_file_name").alias("p")).first().p
+    assert p.startswith("index-") and len(p) > len("index-")
+    pm = df.select(savepath_expr("%max_url_file_name").alias("p")).first().p
+    assert pm == p
+    p2 = df.select(savepath_expr("").alias("p")).first().p
+    assert p2 == ""

@@ -68,3 +68,28 @@ def test_streaming_surface(spark, smoke_pages_e, tmp_path_factory):
     arts = state.read_articles()
     assert arts.count() > 0
     assert arts.where(F.col("article_text") == "").count() == 0
+
+
+def test_pubdate_zone_forms(spark):
+    """RFC-822 zone coverage: UTC names, numeric offsets, named NA
+    zones, optional seconds — and garbage stays NULL instead of raising
+    (previously any non-UTC zone parsed to NULL and changed feed items
+    were silently dropped)."""
+    import datetime as dt
+
+    from newscrawler_spark.streaming.daemon import _pubdate_expr
+
+    rows = [
+        ("Mon, 01 Jan 2024 10:00:00 GMT",),
+        ("Tue, 02 Jan 2024 10:00:00 +0130",),
+        ("Wed, 3 Jan 2024 10:00:00 EST",),
+        ("04 Jan 2024 10:00 -0500",),
+        ("not a date",),
+    ]
+    df = spark.createDataFrame(rows, "pub_date_raw string")
+    got = [r.ts for r in df.select(_pubdate_expr().alias("ts")).collect()]
+    assert got[0] == dt.datetime(2024, 1, 1, 10, 0, 0)
+    assert got[1] == dt.datetime(2024, 1, 2, 8, 30, 0)
+    assert got[2] == dt.datetime(2024, 1, 3, 15, 0, 0)
+    assert got[3] == dt.datetime(2024, 1, 4, 15, 0, 0)
+    assert got[4] is None
