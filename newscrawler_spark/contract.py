@@ -688,6 +688,26 @@ def q41_ann_lsh_topk(spark, sf_dir):
                         plane_source="md5")
 
 
+def q43_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantizer ANN (the build-once/probe-many scale path):
+    corpus bucketed into inverted lists by cosine-argmax against
+    centroids, queries probe their n_probe nearest lists, exact re-rank.
+    Centroids use the deterministic md5-ranked seeding with iters=0 so
+    the DuckDB oracle regenerates the identical quantizer; Lloyd-refined
+    training (iters>0) is recall-tested in pytest."""
+    from newscrawler_spark.operators.similarity import (
+        ivf_build_centroids,
+        ivf_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = ivf_build_centroids(emb, n_lists=16, dim=64, iters=0)
+    q = emb.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(emb, q, cents, k=5, n_probe=4)
+
+
 def q42_simhash_hamming(spark, sf_dir):
     """Exact Hamming<=3 near-dup pairs over the md5-parameterized 60-bit
     SimHash — the block-rotation candidate join vs an all-pairs SQL
@@ -854,6 +874,48 @@ def _ann_oracle(k: int = 5, dim: int = 64, n_planes: int = 8,
             SELECT query_id, vec_id, round(cos, 6) AS cos,
                    row_number() OVER (PARTITION BY query_id
                                       ORDER BY cos DESC, vec_id ASC) AS rank
+            FROM scored)
+        SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+def _ivf_oracle(k: int = 5, n_lists: int = 16, n_probe: int = 4) -> str:
+    """DuckDB twin of q43: regenerate the iters=0 quantizer (md5-ranked
+    seed rows), re-derive list assignment (cosine-argmax, lowest-index
+    tie-break), probe each query's n_probe nearest lists, exact re-rank."""
+    return f"""
+        WITH cent AS (
+            SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)))
+                       - 1 AS list_id,
+                   embedding AS cv
+            FROM (SELECT * FROM embeddings
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {n_lists})),
+        assign AS (
+            SELECT e.vec_id, e.embedding,
+                   (SELECT c.list_id FROM cent c
+                    ORDER BY list_cosine_similarity(
+                        e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+                        c.list_id ASC LIMIT 1) AS list_id
+            FROM embeddings e),
+        qids AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                 ORDER BY vec_id LIMIT 3),
+        probe AS (
+            SELECT q.query_id, q.qv, c.list_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(
+                           q.qv::DOUBLE[], c.cv::DOUBLE[]) DESC,
+                           c.list_id ASC) AS pr
+            FROM qids q CROSS JOIN cent c),
+        pk AS (SELECT query_id, qv, list_id FROM probe WHERE pr <= {n_probe}),
+        scored AS (
+            SELECT pk.query_id, a.vec_id,
+                   list_cosine_similarity(a.embedding::DOUBLE[],
+                                          pk.qv::DOUBLE[]) AS cos
+            FROM assign a JOIN pk ON a.list_id = pk.list_id),
+        ranked AS (
+            SELECT query_id, vec_id, round(cos, 6) AS cos,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, vec_id ASC) AS rank
             FROM scored)
         SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= {k}
     """
@@ -1030,6 +1092,7 @@ def all_queries():
         "q40_multimodal_features": q40_multimodal_features,
         "q41_ann_lsh_topk": q41_ann_lsh_topk,
         "q42_simhash_hamming": q42_simhash_hamming,
+        "q43_ivf_topk": q43_ivf_topk,
     }
 
 
@@ -1045,4 +1108,5 @@ def all_oracles():
     out["q40_multimodal_features"] = _MULTIMODAL_ORACLE
     out["q41_ann_lsh_topk"] = _ann_oracle()
     out["q42_simhash_hamming"] = _simhash_hamming_oracle()
+    out["q43_ivf_topk"] = _ivf_oracle()
     return out

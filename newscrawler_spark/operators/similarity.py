@@ -119,6 +119,134 @@ def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     return acc
 
 
+def ivf_build_centroids(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float = 1.0,
+    iters: int = 5,
+    seed: int = 42,
+) -> list[list[float]]:
+    """IVF coarse quantizer: k-means centroids trained distributed.
+
+    Lloyd iterations as pure DataFrame ops — assign = cosine-argmax over
+    centroid literals (codegen'd), update = groupBy(list).avg per
+    dimension — so training scales with executors; only the k x dim
+    centroid matrix (tiny) ever reaches the driver. Seeding is
+    deterministic AND SQL-reproducible (rows ranked by md5 of the id
+    string), so ``iters=0`` yields centroids a DuckDB oracle regenerates
+    exactly — the basis of the two-sided q43 check; ``iters>0`` is the
+    production path (recall-tested in tests/test_similarity.py).
+    """
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    if sample_fraction < 1.0:
+        e = e.sample(fraction=sample_fraction, seed=seed)
+    seeded = (
+        e.withColumn("__r", F.md5(F.col("id").cast("string")))
+        .orderBy("__r").limit(n_lists)
+    )
+    centroids = [row.v for row in seeded.collect()]
+    e = e.select("v")
+    for _ in range(iters):
+        assigned = e.withColumn(
+            "list_id", _nearest_centroid_expr(F.col("v"), centroids)
+        )
+        sums = assigned.select(
+            "list_id",
+            *[F.element_at("v", d + 1).alias(f"d{d}") for d in range(dim)],
+        ).groupBy("list_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.avg(f"d{d}").alias(f"d{d}") for d in range(dim)],
+        )
+        got = {row.list_id: [row[f"d{d}"] for d in range(dim)]
+               for row in sums.collect()}
+        centroids = [got.get(i, centroids[i]) for i in range(n_lists)]
+    return centroids
+
+
+def _nearest_centroid_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """Cosine-argmax list assignment: the k similarities are computed
+    ONCE into an array (bind_once), then argmax = first position of the
+    max — linear expression tree, deterministic lowest-index tie-break."""
+    from newscrawler_spark.operators.dedup import bind_once
+
+    sims = F.array(*[
+        cosine_expr(vec, F.array(*[F.lit(float(x)) for x in c]))
+        for c in centroids
+    ])
+    return bind_once(
+        sims, lambda a: (F.array_position(a, F.array_max(a)) - 1).cast("int")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF search: corpus bucketed by nearest centroid (inverted lists);
+    each query probes its ``n_probe`` nearest lists and exact-cosine
+    re-ranks only those lists' members — the classic coarse-quantizer
+    ANN shape. Shuffle is O(N) list keys + O(Q·n_probe) probe keys; at
+    10^9 vectors the inverted lists would be a bucketed/partitioned
+    table reused across queries (build once, probe many).
+
+    Output schema matches :func:`brute_force_topk`.
+    """
+    e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+    )
+    lists = e.withColumn("list_id", _nearest_centroid_expr(F.col("v"), centroids))
+    # per query: n_probe nearest centroids (tiny cross product, window cut)
+    cent_rows = [(i,) for i in range(len(centroids))]
+    spark = embeddings.sparkSession
+    cent_df = spark.createDataFrame(cent_rows, "list_id int")
+    probes = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn(
+            "sim",
+            _centroid_sim_expr(F.col("qv"), centroids),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("list_id"))
+    probe_keys = (
+        probes.withColumn("pr", F.row_number().over(w))
+        .where(F.col("pr") <= n_probe)
+        .select("query_id", "qv", "list_id")
+    )
+    scored = (
+        lists.join(F.broadcast(probe_keys), "list_id")
+        .withColumn("cos", cosine_expr(F.col("v"), F.col("qv")))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def _centroid_sim_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """cosine(vec, centroids[list_id]) — selected by the list_id column."""
+    sims = F.array(*[
+        cosine_expr(vec, F.array(*[F.lit(float(x)) for x in c]))
+        for c in centroids
+    ])
+    return F.element_at(sims, F.col("list_id") + 1)
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -104,10 +104,41 @@ def test_ann_md5_planes_recall_and_range(spark, emb_df, queries_df):
     assert all((q, q) in approx for q in (0, 7, 42))
 
 
+def test_ivf_topk_recall_and_determinism(spark, emb_df, queries_df):
+    """IVF coarse quantizer (trained, iters=2): probing 4 of 8 lists must
+    recover most of the true top-5 on clustered data, the query vector
+    always finds itself, and centroid training is deterministic."""
+    from newscrawler_spark.operators.similarity import (
+        ivf_build_centroids,
+        ivf_topk,
+    )
+
+    c1 = ivf_build_centroids(emb_df, n_lists=8, dim=DIM, iters=2)
+    c2 = ivf_build_centroids(emb_df, n_lists=8, dim=DIM, iters=2)
+    assert c1 == c2
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(emb_df, queries_df, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(emb_df, queries_df, c1, k=5, n_probe=4).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.6
+    assert all((q, q) in approx for q in (0, 7, 42))
+
+
 def test_similarity_plans_are_jvm_only(spark, emb_df, queries_df):
+    from newscrawler_spark.operators.similarity import (
+        ivf_build_centroids,
+        ivf_topk,
+    )
+
+    cents = ivf_build_centroids(emb_df, n_lists=4, dim=DIM, iters=0)
     for df in (
         brute_force_topk(emb_df, queries_df, k=3),
         ann_lsh_topk(emb_df, queries_df, k=3, dim=DIM, n_tables=2),
+        ivf_topk(emb_df, queries_df, cents, k=3, n_probe=2),
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan
