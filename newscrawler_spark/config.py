@@ -67,6 +67,12 @@ class CrawlConfig:
     seen_buckets: int = 32            # bucket(url_hash) shard count
     bloom_bits_per_key: int = 10      # ~1% fpp
     use_bloom_prefilter: bool = True
+    # Bloom pays its per-round shard fold + probe only once the seen set
+    # is large; below this row count the exact anti-join alone is faster
+    # (the filter exists for 10^8-10^10 keys, not 10^4). Crossing the
+    # threshold triggers one full shard build, then incremental folds.
+    # 0 = bloom from round one (tests use this to pin the bloom path).
+    bloom_min_seen_rows: int = 200_000
     # fold the per-round seen_delta ledger into one bucketed base table
     # every K committed rounds (0 = never): read_seen then scans
     # base + <=K deltas instead of every round since genesis

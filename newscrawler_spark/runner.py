@@ -193,14 +193,21 @@ def run_crawl(
         empty_log = spark.createDataFrame([], FETCH_LOG_SCHEMA)
         empty_counters = spark.createDataFrame([], COUNTERS_SCHEMA)
         boot = boot.persist()
+        # build shards at bootstrap when the seed set alone already
+        # clears the activation threshold (A7 bulk mode seeds the whole
+        # corpus) — one cached count, outside any timed region
+        boot_bloom = use_bloom and (
+            cfg.bloom_min_seen_rows == 0
+            or boot.count() >= cfg.bloom_min_seen_rows
+        )
         state.commit_round(
             0, boot, boot.select("url_hash"), empty_log,
             empty_articles, empty_counters,
             bloom_shards=(
                 SN.build_bloom_shards(boot.select("url_hash"), cfg)
-                if use_bloom else None
+                if boot_bloom else None
             ),
-            bloom_mode="rebuild",
+            bloom_mode="rebuild" if boot_bloom else None,
         )
         boot.unpersist()
         last = 0
@@ -218,9 +225,14 @@ def run_crawl(
             robots_rules = _localize(spark, robots_rules)
 
     # Persisted Bloom shards: read the snapshot committed with the last
-    # round (covers seen(last)); None on a pre-shard-format state dir —
-    # rebuilt once below, then maintained incrementally.
+    # round (covers seen(last)); None on a pre-shard-format state dir or
+    # while below the activation threshold — rebuilt once on activation,
+    # then maintained incrementally.
     shards = state.read_bloom_shards(last) if use_bloom else None
+    seen_total = sum(
+        state.manifest(x)["row_counts"]["seen_delta"]
+        for x in state.committed_rounds()
+    )
 
     rounds_run = 0
     r = last
@@ -338,7 +350,13 @@ def run_crawl(
         gated_children = children.persist()
         seen_df = state.read_seen(r - 1)
         bloom_mode = None
-        if use_bloom:
+        # below the threshold the shard fold + probe cost more than the
+        # exact anti-join they would prefilter — run exact and keep
+        # shards unset so crossing the threshold rebuilds once
+        eff_bloom = use_bloom and seen_total >= cfg.bloom_min_seen_rows
+        if not eff_bloom:
+            shards = None
+        if eff_bloom:
             # O(|delta|) maintenance: probe the persisted shards; rebuild
             # from the full seen set ONLY when absent (legacy state dir)
             # or past the saturation rule — at 10^10 URLs the difference
@@ -401,11 +419,12 @@ def run_crawl(
                 counters_builder=build_counters,
                 bloom_shards=(
                     SN.update_bloom_shards(shards, children.select("url_hash"), cfg)
-                    if use_bloom else None
+                    if eff_bloom else None
                 ),
                 bloom_mode=bloom_mode,
             )
-        if use_bloom:
+        seen_total += man["row_counts"]["seen_delta"]
+        if eff_bloom:
             # re-read the committed shards: keeps lineage flat (no
             # cogroup-of-cogroup chains across rounds) and makes resume
             # and the in-loop state read the same bytes

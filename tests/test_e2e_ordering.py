@@ -109,7 +109,8 @@ def test_extracted_text_matches_designed_ground_truth(engine_result, smoke_pages
 def test_bloom_run_identical(spark, smoke_pages, smoke_seeds, engine_result):
     """Bloom-prefiltered seen-set dedup must not change ANY behavior."""
     with tempfile.TemporaryDirectory(prefix="crawl_bloom_") as d:
-        res = run_crawl(spark, smoke_pages, smoke_seeds, d, CFG,
+        res = run_crawl(spark, smoke_pages, smoke_seeds, d,
+                        CFG.with_overrides(bloom_min_seen_rows=0),
                         max_rounds=30, use_bloom=True)
         assert _engine_log(res.state) == engine_result["log"]
         assert {r.url_hash for r in res.state.read_seen().collect()} == engine_result["seen"]

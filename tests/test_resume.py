@@ -95,7 +95,8 @@ def test_incremental_bloom_fold_evidence(spark, smoke_pages, smoke_seeds,
     - on 'incremental' rounds every bucket's bitset size m is FROZEN
       (a rebuild would re-size) — proving the fold path ran."""
     with tempfile.TemporaryDirectory(prefix="crawl_bloom_inc_") as d:
-        res = run_crawl(spark, smoke_pages, smoke_seeds, d, CFG,
+        res = run_crawl(spark, smoke_pages, smoke_seeds, d,
+                        CFG.with_overrides(bloom_min_seen_rows=0),
                         max_rounds=8, use_bloom=True)
         assert _log(res.state) == uninterrupted["log"]
         seen_rows = res.state.read_seen().collect()
@@ -129,7 +130,7 @@ def test_resume_with_bloom_and_compaction(spark, smoke_pages, smoke_seeds,
     compaction on: resumed crawl is identical, and read_seen scans only
     the compacted base + tail deltas (read cost no longer grows with
     round count)."""
-    cfg = CFG.with_overrides(compact_seen_every=2)
+    cfg = CFG.with_overrides(compact_seen_every=2, bloom_min_seen_rows=0)
     with tempfile.TemporaryDirectory(prefix="crawl_bloom_resume_") as d:
         run_crawl(spark, smoke_pages, smoke_seeds, d, cfg, max_rounds=3,
                   use_bloom=True)
