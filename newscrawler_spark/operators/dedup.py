@@ -83,33 +83,83 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard duplicate pairs (id1 < id2, j >= threshold).
 
-    Token-postings join: explode shingles → pair docs sharing a shingle →
-    count shared → |A∪B| = |A|+|B|−shared. Exact (no approximation); the
-    shuffle is bounded by posting-list sizes, so at corpus scale prefer
-    :func:`minhash_lsh_pairs` which only verifies banded candidates.
+    ``prefix_filter=True`` adds PREFIX FILTERING (Chaudhuri et al.'s
+    SSJoin trick, still EXACT): shingles get a global rarity order
+    (document frequency asc, shingle asc); a doc's prefix is its first
+    |d| - ceil(t·|d|) + 1 shingles in that order. Any pair with
+    Jaccard >= t must share a prefix shingle (|A∩B| >= t·|A∪B| >=
+    ceil(t·max(|A|,|B|)); the per-doc prefixes are supersets of the
+    theorem's, so no pair is lost), so the self-join runs over prefix
+    postings only — the hottest shingles fall OUT of prefixes, removing
+    the quadratic hot-posting blowup — and candidates are verified with
+    the full shingle sets. Equality to the plain form is tested at
+    several thresholds.
+
+    Default OFF: the filter pays for its freq-agg + per-doc rank window
+    only when posting lists are skewed (natural-language corpora with
+    boilerplate shingles); on near-unique shingle sets (this synthetic
+    corpus: ~36s vs ~20s at sf0.1) the plain postings count-join wins.
+    At corpus scale prefer :func:`minhash_lsh_pairs`; this operator is
+    the exactness tier either way.
     """
     sh = documents.select(
         F.col(id_col).alias("id"), shingles_expr(text_col, n).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
+    if not prefix_filter:
+        posts = sh.select("id", "n_sh", F.explode("sh").alias("s"))
+        a = posts.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1"), "s")
+        b = posts.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2"), "s")
+        return (
+            a.join(b, "s")
+            .where(F.col("id1") < F.col("id2"))
+            .groupBy("id1", "id2", "n1", "n2")
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .withColumn(
+                "jaccard",
+                F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared")),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+        )
+
+    from pyspark.sql import Window
+
     posts = sh.select("id", "n_sh", F.explode("sh").alias("s"))
-    a = posts.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1"), "s")
-    b = posts.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2"), "s")
-    pairs = (
-        a.join(b, "s")
-        .where(F.col("id1") < F.col("id2"))
-        .groupBy("id1", "id2", "n1", "n2")
-        .agg(F.count(F.lit(1)).alias("shared"))
+    freq = posts.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("s"))
+    pref = (
+        posts.join(freq, "s")
+        .withColumn("rk", F.row_number().over(w))
+        .where(
+            F.col("rk")
+            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        )
+        .select("id", "s")
+    )
+    cand = (
+        pref.alias("x").join(pref.alias("y"), "s")
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"))
+        .distinct()
+    )
+    verified = (
+        cand.join(sh.select(F.col("id").alias("id1"), F.col("sh").alias("sh1")),
+                  "id1")
+        .join(sh.select(F.col("id").alias("id2"), F.col("sh").alias("sh2")),
+              "id2")
         .withColumn(
             "jaccard",
-            F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared")),
+            F.size(F.array_intersect("sh1", "sh2"))
+            / F.size(F.array_union("sh1", "sh2")),
         )
         .where(F.col("jaccard") >= threshold)
         .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
     )
-    return pairs
+    return verified
 
 
 def minhash_signature(

@@ -96,6 +96,24 @@ def test_simhash_near_dups_close(spark, docs_df):
     assert ham(sig[0], sig[3]) > ham(sig[0], sig[2])  # unrelated: more bits
 
 
+def test_prefix_filter_equals_plain_postings(spark, docs_df):
+    """Prefix filtering is an EXACT optimization: identical pairs and
+    jaccard values to the unfiltered postings join, at several
+    thresholds (including ones exercising the ceil boundary)."""
+    for t in (0.3, 0.5, 0.6, 0.8):
+        fast = {
+            (r.id1, r.id2): r.jaccard
+            for r in ngram_jaccard_pairs(docs_df, threshold=t).collect()
+        }
+        ref = {
+            (r.id1, r.id2): r.jaccard
+            for r in ngram_jaccard_pairs(
+                docs_df, threshold=t, prefix_filter=False
+            ).collect()
+        }
+        assert fast == ref, t
+
+
 def test_minhash_md5_parameterization_equivalent(spark, docs_df):
     """The md5-parameterized family (driver-oracle path, q32) finds the
     same verified near-dup pairs as the xxhash64 default on a corpus where
