@@ -119,6 +119,53 @@ def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     return acc
 
 
+def embedding_near_dups_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    plane_source: str = "pcg64",
+) -> DataFrame:
+    """Embedding near-dup PAIRS at 10^9-vector scale: candidates share a
+    sign-projection bucket in >=1 of ``n_tables`` tables (O(N·tables)
+    bucket keys shuffled, never all-pairs), then exact cosine verifies
+    every candidate — FPs impossible in the output, FNs are the LSH
+    recall tradeoff (recall-tested in tests/test_similarity.py; raise
+    n_tables / lower n_planes to trade shuffle for recall).
+
+    Same output schema as the exact tiers in operators/dedup.py
+    (embedding_cosine_pairs): (id1, id2, cos) with id1 < id2.
+    """
+    e = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    gen = _md5_planes if plane_source == "md5" else _planes
+    cand = None
+    for t in range(n_tables):
+        planes = gen(dim, n_planes, t)
+        eb = e.select(
+            "id", lsh_bucket_expr(F.col("v"), planes).alias("bucket")
+        )
+        c = (
+            eb.alias("x").join(eb.alias("y"), "bucket")
+            .where(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"))
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    cand = cand.distinct()
+    verified = (
+        cand.join(e.select(F.col("id").alias("id1"), F.col("v").alias("v1")),
+                  "id1")
+        .join(e.select(F.col("id").alias("id2"), F.col("v").alias("v2")),
+              "id2")
+        .withColumn("cos", cosine_expr(F.col("v1"), F.col("v2")))
+        .where(F.col("cos") >= threshold)
+        .select("id1", "id2", F.round("cos", 6).alias("cos"))
+    )
+    return verified
+
+
 def ivf_build_centroids(
     embeddings: DataFrame,
     n_lists: int = 16,

@@ -104,6 +104,28 @@ def test_ann_md5_planes_recall_and_range(spark, emb_df, queries_df):
     assert all((q, q) in approx for q in (0, 7, 42))
 
 
+def test_lsh_near_dup_pairs_recall_and_precision(spark, emb_df):
+    """The scale near-dup-pairs path: output ⊆ exact pairs (verify stage
+    kills every FP) with high recall on clustered data."""
+    from newscrawler_spark.operators.dedup import embedding_cosine_pairs
+    from newscrawler_spark.operators.similarity import embedding_near_dups_lsh
+
+    exact = {
+        (r.id1, r.id2): r.cos
+        for r in embedding_cosine_pairs(emb_df, 0.9).collect()
+    }
+    approx = {
+        (r.id1, r.id2): r.cos
+        for r in embedding_near_dups_lsh(
+            emb_df, threshold=0.9, dim=DIM, n_planes=6, n_tables=6
+        ).collect()
+    }
+    assert set(approx) <= set(exact)              # no false positives
+    assert len(approx) / max(len(exact), 1) >= 0.7  # recall
+    for k, v in approx.items():
+        assert abs(v - exact[k]) < 2e-6
+
+
 def test_ivf_topk_recall_and_determinism(spark, emb_df, queries_df):
     """IVF coarse quantizer (trained, iters=2): probing 4 of 8 lists must
     recover most of the true top-5 on clustered data, the query vector
