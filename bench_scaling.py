@@ -86,6 +86,10 @@ def main() -> None:
     eff = round(t_large / (4 * t_small), 3)
 
     os.makedirs("BENCH", exist_ok=True)
+    # SPARK_GRAFT_SCALING_TAG: write a tagged side-measurement (e.g. the
+    # 2->8 pair that keeps both points inside this box's linear region)
+    # without clobbering the primary BENCH/scaling.json + BASELINE.md
+    tag = os.environ.get("SPARK_GRAFT_SCALING_TAG", "")
     result = {
         "small_cores": small_n,
         "large_cores": large_n,
@@ -100,8 +104,14 @@ def main() -> None:
         "large": large,
         "measured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
-    with open("BENCH/scaling.json", "w") as f:
+    out_json = f"BENCH/scaling_{tag}.json" if tag else "BENCH/scaling.json"
+    with open(out_json, "w") as f:
         json.dump(result, f, indent=1)
+    if tag:
+        print(json.dumps({"tag": tag, "scaling_efficiency": eff,
+                          "throughput_small": t_small,
+                          "throughput_large": t_large}))
+        return
 
     md = f"""# BENCH/BASELINE.md — two-parallelism scaling evidence
 

@@ -35,6 +35,12 @@ def parse_args(argv=None):
     p.add_argument("--max-depth", type=int, default=3)
     p.add_argument("--run-id", default="run")
     p.add_argument("--no-bloom", action="store_true")
+    p.add_argument("--compact-seen-every", type=int, default=8,
+                   help="fold the seen-delta ledger into a base table "
+                        "every K rounds (0 = never)")
+    p.add_argument("--bloom-min-seen-rows", type=int, default=200_000,
+                   help="run the Bloom prefilter only once the seen set "
+                        "clears this row count (0 = from round one)")
     p.add_argument("--user-agent", default="newscrawler")
     p.add_argument("--master", default=None,
                    help="override master (tests); spark-submit sets it normally")
@@ -54,6 +60,8 @@ def main(argv=None) -> None:
         batch_size=args.batch_size,
         max_depth=args.max_depth,
         user_agent=args.user_agent,
+        compact_seen_every=args.compact_seen_every,
+        bloom_min_seen_rows=args.bloom_min_seen_rows,
     )
     pages = spark.read.parquet(args.pages)
     seeds = spark.read.parquet(args.seeds)
