@@ -83,7 +83,9 @@ def ngram_jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
-    prefix_filter: bool = False,
+    prefix_filter: bool | str = "auto",
+    skew_sample: float = 0.05,
+    skew_ratio: float = 0.05,
 ) -> DataFrame:
     """Exact n-gram Jaccard duplicate pairs (id1 < id2, j >= threshold).
 
@@ -99,16 +101,38 @@ def ngram_jaccard_pairs(
     the full shingle sets. Equality to the plain form is tested at
     several thresholds.
 
-    Default OFF: the filter pays for its freq-agg + per-doc rank window
-    only when posting lists are skewed (natural-language corpora with
-    boilerplate shingles); on near-unique shingle sets (this synthetic
-    corpus: ~36s vs ~20s at sf0.1) the plain postings count-join wins.
-    At corpus scale prefer :func:`minhash_lsh_pairs`; this operator is
-    the exactness tier either way.
+    ``prefix_filter="auto"`` (default) picks the path from a cheap
+    posting-skew probe: a seeded ``skew_sample`` fraction of documents is
+    sharded into postings and the hottest shingle's document frequency is
+    compared to the sampled doc count; a ratio above ``skew_ratio``
+    (boilerplate shingles ⇒ quadratic hot postings in the plain join)
+    enables the filter. The probe is one small aggregate over the sample
+    — O(sample) — not a full corpus pass, so the decision stays cheap at
+    100 TB. On near-unique shingle sets (this synthetic corpus: ~36s vs
+    ~20s at sf0.1) the plain postings count-join wins and auto keeps it.
+    Both paths are EXACT and produce identical output; at corpus scale
+    prefer :func:`minhash_lsh_pairs` — this operator is the exactness
+    tier either way.
     """
     sh = documents.select(
         F.col(id_col).alias("id"), shingles_expr(text_col, n).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
+    if prefix_filter == "auto":
+        probe = (
+            documents.sample(fraction=min(1.0, skew_sample), seed=42)
+            .select(F.explode(shingles_expr(text_col, n)).alias("s"),
+                    F.col(id_col).alias("id"))
+        )
+        stats = (
+            probe.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(F.max("df").alias("max_df"))
+            .crossJoin(probe.agg(F.countDistinct("id").alias("n_docs")))
+        ).collect()[0]
+        prefix_filter = bool(
+            stats["n_docs"] and stats["max_df"] is not None
+            and stats["max_df"] / stats["n_docs"] > skew_ratio
+        )
     if not prefix_filter:
         posts = sh.select("id", "n_sh", F.explode("sh").alias("s"))
         a = posts.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1"), "s")
@@ -134,9 +158,14 @@ def ngram_jaccard_pairs(
     pref = (
         posts.join(freq, "s")
         .withColumn("rk", F.row_number().over(w))
+        # ceil over a float product can land one too high when t*n sits a
+        # ulp above an integer (e.g. 0.3*10), which would SHORTEN the
+        # prefix below the SSJoin lemma's bound and silently drop pairs —
+        # back the product off by an epsilon far below any rational t*n gap
         .where(
             F.col("rk")
-            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+            <= F.col("n_sh")
+            - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9)) + 1
         )
         .select("id", "s")
     )
@@ -385,9 +414,13 @@ def simhash_hamming_pairs(
     for b, w in enumerate(widths):
         if w <= 0:
             continue
-        # unsigned slice [lo, lo+w): shiftrightunsigned then mask
-        mask = F.lit((1 << w) - 1).cast("long")
-        val = F.shiftrightunsigned(F.col("sh"), lo).bitwiseAND(mask)
+        # unsigned slice [lo, lo+w): shiftrightunsigned then mask. A full
+        # 64-bit block (k=0) needs no mask — (1<<64)-1 overflows LongType.
+        if w >= 64:
+            val = F.col("sh")
+        else:
+            mask = F.lit((1 << w) - 1).cast("long")
+            val = F.shiftrightunsigned(F.col("sh"), lo).bitwiseAND(mask)
         parts.append(F.struct(F.lit(b).alias("blk"), val.alias("bv")))
         lo += w
     blocked = sig.select(

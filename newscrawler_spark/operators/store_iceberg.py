@@ -75,6 +75,7 @@ class IcebergCrawlState:
         self.ns = f"{catalog}.{namespace}"
         spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.ns}")
         self._ensure_tables()
+        self._heal_articles_current()
 
     # ------------------------------------------------------------ DDL
 
@@ -92,7 +93,9 @@ class IcebergCrawlState:
             "bloom_shards": (SHARD_SCHEMA + ", fetch_round int", "fetch_round"),
             "counters": (COUNTERS_SCHEMA, "fetch_round"),
             "articles_current": (ARTICLES_SCHEMA, None),
-            "seen_base": (SEEN_SCHEMA, None),
+            # first_round = the earliest round that saw the key, so
+            # read_seen(upto) keeps as-of semantics after compaction
+            "seen_base": (SEEN_SCHEMA + ", first_round int", None),
         }
         for name, (schema, part) in ddl.items():
             cols = ", ".join(schema.split(", "))
@@ -148,6 +151,13 @@ class IcebergCrawlState:
             writes["bloom_shards"] = bloom_shards.withColumn("fetch_round", rd)
         counts = {}
         for name, df in writes.items():
+            # heal a torn prior attempt: a crash between the data appends
+            # and the marker append leaves orphan rows for round r that a
+            # blind re-append would duplicate once the marker lands —
+            # clear the partition first (parquet parity: mode('overwrite'))
+            self.spark.sql(
+                f"DELETE FROM {self.ns}.{name} WHERE fetch_round = {r}"
+            )
             df.writeTo(f"{self.ns}.{name}").append()
             counts[name] = (
                 self.spark.table(f"{self.ns}.{name}")
@@ -155,14 +165,20 @@ class IcebergCrawlState:
             )
         if counters is None:
             counters = counters_builder(counts)
+        self.spark.sql(
+            f"DELETE FROM {self.ns}.counters WHERE fetch_round = {r}"
+        )
         counters.writeTo(f"{self.ns}.counters").append()
         counts["counters"] = 1
-        # F2: fold this round's articles into the current-versions table
-        self.merge_articles_current(articles_delta)
         # THE commit point: marker append (atomic Iceberg snapshot)
         self.spark.createDataFrame(
             [(self.run_id, r, time.time())], ROUNDS_SCHEMA
         ).writeTo(f"{self.ns}.rounds").append()
+        # F2: fold this round's articles into the current-versions table.
+        # AFTER the marker so articles_current never exposes uncommitted
+        # rounds; a crash right here is healed by _heal_articles_current
+        # on the next open (the MERGE is idempotent).
+        self.merge_articles_current(articles_delta)
         man = {"run_id": self.run_id, "round": r, "row_counts": counts}
         if bloom_shards is not None:
             man["bloom"] = {"mode": bloom_mode or "unknown",
@@ -184,6 +200,21 @@ class IcebergCrawlState:
         return {"run_id": self.run_id, "round": r, "row_counts": counts}
 
     # ----------------------------------------------------------- merge
+
+    def _heal_articles_current(self) -> None:
+        """Re-apply the latest committed round's articles MERGE. Covers a
+        crash between the marker append and merge_articles_current in
+        commit_round: re-merging an already-applied delta is a no-op (no
+        version strictly newer), so this is safe to run on every open."""
+        r = self.latest_round()
+        if r is None:
+            return
+        delta = (
+            self.spark.table(f"{self.ns}.articles_delta")
+            .where(F.col("fetch_round") == r).drop("fetch_round")
+        )
+        if delta.take(1):
+            self.merge_articles_current(delta)
 
     def merge_articles_current(self, articles_delta: DataFrame) -> None:
         """F2 current/archive move as a real MERGE INTO: newest version
@@ -220,10 +251,17 @@ class IcebergCrawlState:
 
     def read_seen(self, upto: int | None = None) -> DataFrame:
         df = self.spark.table(f"{self.ns}.seen_delta")
+        base = self.spark.table(f"{self.ns}.seen_base")
         if upto is not None:
             df = df.where(F.col("fetch_round") <= upto)
-        base = self.spark.table(f"{self.ns}.seen_base")
-        return self._committed(df).drop("fetch_round").unionByName(base)
+            # as-of semantics survive compaction: seen_base records each
+            # key's first fetch_round, so a historical read excludes keys
+            # first seen after `upto` even though their deltas were folded
+            base = base.where(F.col("first_round") <= upto)
+        return (
+            self._committed(df).drop("fetch_round")
+            .unionByName(base.drop("first_round"))
+        )
 
     def read_fetch_log(self, upto: int | None = None) -> DataFrame:
         df = self.spark.table(f"{self.ns}.fetch_log")
@@ -282,10 +320,17 @@ class IcebergCrawlState:
         upto = self.latest_round() if upto is None else upto
         if upto is None:
             return None
+        # fold COMMITTED deltas only (a torn round's orphan rows must not
+        # leak into the base), carrying each key's first fetch_round so
+        # read_seen(upto) stays correct after the deltas are dropped
         self.spark.sql(f"""
             MERGE INTO {self.ns}.seen_base t
-            USING (SELECT DISTINCT url_hash FROM {self.ns}.seen_delta
-                   WHERE fetch_round <= {upto}) s
+            USING (SELECT url_hash, MIN(fetch_round) AS first_round
+                   FROM {self.ns}.seen_delta
+                   WHERE fetch_round <= {upto}
+                     AND fetch_round IN
+                         (SELECT round FROM {self.ns}.rounds)
+                   GROUP BY url_hash) s
             ON t.url_hash = s.url_hash
             WHEN NOT MATCHED THEN INSERT *
         """)

@@ -100,10 +100,12 @@ def test_prefix_filter_equals_plain_postings(spark, docs_df):
     """Prefix filtering is an EXACT optimization: identical pairs and
     jaccard values to the unfiltered postings join, at several
     thresholds (including ones exercising the ceil boundary)."""
-    for t in (0.3, 0.5, 0.6, 0.8):
+    for t in (0.3, 0.5, 0.6, 0.7, 0.8):
         fast = {
             (r.id1, r.id2): r.jaccard
-            for r in ngram_jaccard_pairs(docs_df, threshold=t).collect()
+            for r in ngram_jaccard_pairs(
+                docs_df, threshold=t, prefix_filter=True
+            ).collect()
         }
         ref = {
             (r.id1, r.id2): r.jaccard
@@ -140,7 +142,7 @@ def test_simhash_md5_60bit_range_and_collisions(spark, docs_df):
     assert any(set(g.ids) >= {0, 1} for g in groups)
 
 
-@pytest.mark.parametrize("k", [1, 2, 3])
+@pytest.mark.parametrize("k", [0, 1, 2, 3])
 def test_simhash_hamming_pairs_exact(spark, docs_df, k):
     """Block-rotation candidate generation is EXACT for Hamming <= k:
     compare against brute-force over collected signatures."""

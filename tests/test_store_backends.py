@@ -91,6 +91,38 @@ def test_compact_seen_preserves_membership(spark, backend):
     assert {r.url_hash for r in st.read_seen().collect()} == before
     # tail delta (round 2) still visible on top of the base
     assert {4, 5} <= {r.url_hash for r in st.read_seen().collect()}
+    # as-of semantics survive compaction: a historical read below the
+    # compaction point must exclude keys first seen later, even though
+    # their deltas were folded into the base
+    assert {r.url_hash for r in st.read_seen(0).collect()} == {1, 2}
+
+
+@pytest.mark.parametrize("backend", BACKENDS)
+def test_torn_commit_then_recommit_no_duplicates(spark, backend):
+    """A crash between data writes and the commit marker, followed by a
+    successful re-commit of the same round, must leave exactly one copy
+    of the round's rows (parquet: overwrite; iceberg: clear-then-append)."""
+    st = _mk_state(spark, backend)
+    _commit(spark, st, 0, [1], [1])
+    if backend == "parquet":
+        import os
+        import shutil
+
+        src, torn = st._round_dir(0), st._round_dir(1)
+        shutil.copytree(src, torn)
+        os.remove(os.path.join(torn, "_MANIFEST.json"))
+    else:
+        _frontier(spark, [7, 8]).withColumn(
+            "fetch_round", F.lit(1).cast("int")
+        ).writeTo(f"{st.ns}.frontier").append()
+        _frontier(spark, [7, 8]).select("url_hash").withColumn(
+            "fetch_round", F.lit(1).cast("int")
+        ).writeTo(f"{st.ns}.seen_delta").append()
+    man = _commit(spark, st, 1, [4, 5], [4, 5])
+    assert man["row_counts"]["frontier"] == 2
+    assert man["row_counts"]["seen_delta"] == 2
+    assert sorted(r.url_hash for r in st.read_frontier(1).collect()) == [4, 5]
+    assert {r.url_hash for r in st.read_seen().collect()} == {1, 4, 5}
 
 
 @pytest.mark.parametrize("backend", BACKENDS)
