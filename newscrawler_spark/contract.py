@@ -708,6 +708,123 @@ def q43_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, q, cents, k=5, n_probe=4)
 
 
+def q44_lsh_near_dup_pairs(spark, sf_dir):
+    """The 10^9-vector embedding near-dup tier (sign-bucket LSH blocking
+    + exact cosine verify) made driver-visible: md5-derived hyperplanes
+    so the DuckDB oracle regenerates the identical plane matrix, per-table
+    bucket ids, candidate pair set, and verified cosines. The default
+    GEMM bucket path is what runs — so the Arrow batching is checked too."""
+    from newscrawler_spark.operators.similarity import embedding_near_dups_lsh
+
+    # testdata embeddings are diffuse (max pairwise cos ~0.3): 0.15 keeps
+    # the verified-pair set non-trivial after LSH blocking
+    return embedding_near_dups_lsh(
+        _t(spark, sf_dir, "embeddings"), threshold=0.15, dim=64,
+        n_planes=8, n_tables=4, plane_source="md5",
+    )
+
+
+def q45_stream_seen_dedup(spark, sf_dir):
+    """Structured-Streaming stateful URL-seen dedup
+    (applyInPandasWithState), driven to completion inside the contract:
+    links derived from `documents` are written as 4 parquet files and
+    replayed as 4 micro-batches (maxFilesPerTrigger=1, availableNow), so
+    cross-micro-batch exactly-once is what the row set proves — any state
+    loss between batches would re-emit duplicate url_hash rows and break
+    the oracle match. Rows with equal url_hash are constructed identical,
+    making the result order-independent (oracle = SELECT DISTINCT);
+    first-arrival-wins ordering under DIFFERING payloads is covered in
+    tests/test_stateful_stream.py."""
+    import tempfile
+    import uuid
+
+    from newscrawler_spark.streaming.stateful import stateful_seen_dedup
+
+    links = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 97).cast("long").alias("url_hash"),
+        (F.col("doc_id") % 4).cast("int").alias("part"),
+    ).select(
+        F.concat(F.lit("http://h/"), F.col("url_hash")).alias("url"),
+        F.concat(F.lit("http://h/"), F.col("url_hash")).alias("url_canon"),
+        "url_hash",
+        F.concat(F.lit("h"), F.col("url_hash") % 7).alias("host"),
+        "part",
+    )
+    src = tempfile.mkdtemp(prefix="q45_links_")
+    ckpt = tempfile.mkdtemp(prefix="q45_ckpt_")
+    links.repartition(4, "part").drop("part").write.mode(
+        "overwrite").parquet(src)
+    stream = (
+        spark.readStream
+        .schema("url string, url_canon string, url_hash long, host string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = f"q45_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_seen_dedup(stream, buckets=8)
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+_Q44_THRESHOLD = 0.15
+
+_Q45_ORACLE = """
+    SELECT DISTINCT
+        'http://h/' || CAST(doc_id % 97 AS VARCHAR) AS url,
+        'http://h/' || CAST(doc_id % 97 AS VARCHAR) AS url_canon,
+        CAST(doc_id % 97 AS BIGINT) AS url_hash,
+        'h' || CAST((doc_id % 97) % 7 AS VARCHAR) AS host
+    FROM documents
+"""
+
+
+def _lsh_pairs_oracle(threshold: float = _Q44_THRESHOLD, dim: int = 64,
+                      n_planes: int = 8, n_tables: int = 4) -> str:
+    """DuckDB twin of embedding_near_dups_lsh(plane_source='md5'): same
+    plane/bucket CTEs as _ann_oracle, then candidate PAIRS = bucket
+    equality in any table with vec_id ordering, exact-cosine verified."""
+    return f"""
+        WITH planes AS (
+            SELECT t, p, d,
+                   ('0x' || substr(md5('plane|' || t || '|' || p || '|' || d),
+                    1, 8))::BIGINT / 2147483648.0 - 1.0 AS val
+            FROM generate_series(0, {n_tables - 1}) tt(t),
+                 generate_series(0, {n_planes - 1}) pp(p),
+                 generate_series(0, {dim - 1}) dd(d)),
+        ev AS (
+            SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+                   generate_subscripts(embedding, 1) AS dd
+            FROM embeddings),
+        dots AS (
+            SELECT vec_id, t, p, sum(x * val) AS dot
+            FROM ev JOIN planes ON ev.dd = planes.d + 1
+            GROUP BY 1, 2, 3),
+        buckets AS (
+            SELECT vec_id, t,
+                   sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p)
+                       ELSE 0 END) AS bucket
+            FROM dots GROUP BY 1, 2),
+        cand AS (
+            SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+            FROM buckets x JOIN buckets y
+              ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+        scored AS (
+            SELECT c.id1, c.id2,
+                   list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]) AS cos
+            FROM cand c JOIN embeddings a ON c.id1 = a.vec_id
+                        JOIN embeddings b ON c.id2 = b.vec_id)
+        SELECT id1, id2, round(cos, 6) AS cos
+        FROM scored WHERE cos >= {threshold}
+    """
+
+
 def q42_simhash_hamming(spark, sf_dir):
     """Exact Hamming<=3 near-dup pairs over the md5-parameterized 60-bit
     SimHash — the block-rotation candidate join vs an all-pairs SQL
@@ -1093,6 +1210,8 @@ def all_queries():
         "q41_ann_lsh_topk": q41_ann_lsh_topk,
         "q42_simhash_hamming": q42_simhash_hamming,
         "q43_ivf_topk": q43_ivf_topk,
+        "q44_lsh_near_dup_pairs": q44_lsh_near_dup_pairs,
+        "q45_stream_seen_dedup": q45_stream_seen_dedup,
     }
 
 
@@ -1109,4 +1228,6 @@ def all_oracles():
     out["q41_ann_lsh_topk"] = _ann_oracle()
     out["q42_simhash_hamming"] = _simhash_hamming_oracle()
     out["q43_ivf_topk"] = _ivf_oracle()
+    out["q44_lsh_near_dup_pairs"] = _lsh_pairs_oracle()
+    out["q45_stream_seen_dedup"] = _Q45_ORACLE
     return out

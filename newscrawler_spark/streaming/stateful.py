@@ -39,15 +39,12 @@ def _dedup_group(
 ) -> Iterator[pd.DataFrame]:
     seen = set(state.get[0]) if state.exists else set()
     for pdf in pdfs:
-        mask = []
-        for h in pdf["url_hash"]:
-            h = int(h)
-            if h in seen:
-                mask.append(False)
-            else:
-                seen.add(h)
-                mask.append(True)   # also dedupes within the batch
-        out = pdf.loc[mask, ["url", "url_canon", "url_hash", "host"]]
+        h = pdf["url_hash"]
+        # vectorized first-occurrence: not in cross-batch state AND not a
+        # repeat within this batch (keep='first' also dedupes in-batch)
+        fresh = ~h.isin(seen) & ~h.duplicated(keep="first")
+        out = pdf.loc[fresh, ["url", "url_canon", "url_hash", "host"]]
+        seen.update(int(v) for v in out["url_hash"])
         if len(out):
             yield out
     state.update((list(seen),))

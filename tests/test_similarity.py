@@ -159,8 +159,44 @@ def test_similarity_plans_are_jvm_only(spark, emb_df, queries_df):
     cents = ivf_build_centroids(emb_df, n_lists=4, dim=DIM, iters=0)
     for df in (
         brute_force_topk(emb_df, queries_df, k=3),
-        ann_lsh_topk(emb_df, queries_df, k=3, dim=DIM, n_tables=2),
+        ann_lsh_topk(emb_df, queries_df, k=3, dim=DIM, n_tables=2,
+                     method="catalyst"),
         ivf_topk(emb_df, queries_df, cents, k=3, n_probe=2),
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "Python" not in plan
+        assert "Python" not in plan and "Pandas" not in plan
+
+
+def test_gemm_bucketing_equals_catalyst(spark, emb_df, queries_df):
+    """The GEMM bucket path (default) and the Catalyst expression path
+    produce identical results for both the top-k and the pairs operator,
+    for both plane families — the sign decisions agree because |dot| is
+    far from round-off on real data (the oracle's own assumption)."""
+    from newscrawler_spark.operators.dedup import embedding_cosine_pairs  # noqa: F401
+    from newscrawler_spark.operators.similarity import embedding_near_dups_lsh
+
+    for src in ("pcg64", "md5"):
+        g = {
+            (r.query_id, r.vec_id, r.cos, r.rank)
+            for r in ann_lsh_topk(emb_df, queries_df, k=5, dim=DIM,
+                                  plane_source=src, method="gemm").collect()
+        }
+        c = {
+            (r.query_id, r.vec_id, r.cos, r.rank)
+            for r in ann_lsh_topk(emb_df, queries_df, k=5, dim=DIM,
+                                  plane_source=src, method="catalyst").collect()
+        }
+        assert g == c, src
+        gp = {
+            (r.id1, r.id2, r.cos)
+            for r in embedding_near_dups_lsh(
+                emb_df, threshold=0.9, dim=DIM, n_planes=6, n_tables=6,
+                plane_source=src, method="gemm").collect()
+        }
+        cp = {
+            (r.id1, r.id2, r.cos)
+            for r in embedding_near_dups_lsh(
+                emb_df, threshold=0.9, dim=DIM, n_planes=6, n_tables=6,
+                plane_source=src, method="catalyst").collect()
+        }
+        assert gp == cp, src
