@@ -708,6 +708,45 @@ def q43_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, q, cents, k=5, n_probe=4)
 
 
+def q46_media_headers(spark, sf_dir):
+    """REAL multimodal header kernels (no codec libs): decode_media's
+    non-fake path parses structurally valid PNG/GIF/BMP/JPEG/WAV/MP4
+    files built by gen_real_media, whose metadata follows closed-form
+    rules in the media id — the DuckDB oracle states the expected
+    dimensions/durations/codecs from those formulas alone, sharing zero
+    parsing code with the engine, so a parse bug on ANY of the six
+    container formats breaks the hash match."""
+    from newscrawler_spark.operators.multimodal import (
+        decode_media,
+        gen_real_media,
+    )
+
+    return decode_media(gen_real_media(spark, n=60), fake=False)
+
+
+_Q46_ORACLE = """
+    WITH d AS (SELECT i FROM generate_series(0, 59) t(i))
+    SELECT i AS media_id,
+        CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                   ELSE 'video' END AS kind,
+        CAST(CASE i % 3 WHEN 0 THEN 16 + i % 97 WHEN 1 THEN 0
+                        ELSE 160 + 16 * (i % 20) END AS INT) AS width,
+        CAST(CASE i % 3 WHEN 0 THEN 16 + (i * 7) % 59 WHEN 1 THEN 0
+                        ELSE 120 + 8 * (i % 30) END AS INT) AS height,
+        CAST(CASE i % 3 WHEN 0 THEN 1 WHEN 1 THEN 0
+                        ELSE 25 + i % 200 END AS INT) AS n_frames,
+        CASE i % 3 WHEN 0 THEN CAST(0.0 AS DOUBLE)
+                   WHEN 1 THEN CAST(1 + i % 40 AS DOUBLE) / 8.0
+                   ELSE CAST((25 + i % 200) * 40 AS DOUBLE) / 1000.0
+                   END AS duration_s,
+        CASE i % 3
+            WHEN 0 THEN list_extract(['png', 'gif', 'bmp', 'jpeg'],
+                                     ((i // 3) % 4) + 1)
+            WHEN 1 THEN 'wav/pcm' ELSE 'mp4' END AS codec
+    FROM d
+"""
+
+
 def q44_lsh_near_dup_pairs(spark, sf_dir):
     """The 10^9-vector embedding near-dup tier (sign-bucket LSH blocking
     + exact cosine verify) made driver-visible: md5-derived hyperplanes
@@ -1212,6 +1251,7 @@ def all_queries():
         "q43_ivf_topk": q43_ivf_topk,
         "q44_lsh_near_dup_pairs": q44_lsh_near_dup_pairs,
         "q45_stream_seen_dedup": q45_stream_seen_dedup,
+        "q46_media_headers": q46_media_headers,
     }
 
 
@@ -1230,4 +1270,5 @@ def all_oracles():
     out["q43_ivf_topk"] = _ivf_oracle()
     out["q44_lsh_near_dup_pairs"] = _lsh_pairs_oracle()
     out["q45_stream_seen_dedup"] = _Q45_ORACLE
+    out["q46_media_headers"] = _Q46_ORACLE
     return out

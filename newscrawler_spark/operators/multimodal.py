@@ -68,23 +68,40 @@ def _fake_features(blob: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return v / np.linalg.norm(v)
 
 
+def _real_decode(kind: str, blob: bytes) -> tuple:
+    """REAL header kernel — pure-Python container parsing, no codec libs
+    (functions/media_headers.py): PNG/GIF/JPEG/BMP dimensions, WAV
+    duration from the RIFF data chunk, MP4 mvhd/tkhd/stts. Malformed
+    blobs yield None fields, never an executor-killing raise. Pixel /
+    sample decode (resize, model features) still needs PIL/ffmpeg and
+    stays stubbed in :func:`extract_features`."""
+    from newscrawler_spark.functions import media_headers as mh
+
+    if kind == "image":
+        w, h, codec = mh.parse_image(blob)
+        return (w, h, 1 if w is not None else None, 0.0, codec)
+    if kind == "audio":
+        dur, _ch, _rate, codec = mh.parse_wav(blob)
+        return (0, 0, 0, dur, codec)
+    if kind == "video":
+        w, h, n_frames, dur, codec = mh.parse_mp4(blob)
+        return (w, h, n_frames, dur, codec)
+    return (None, None, None, None, None)
+
+
 def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     """Decode media headers → typed metadata rows (Arrow-batched).
 
-    ``fake=False`` raises NotImplementedError inside the UDF on first
-    batch — the real kernels are not shippable in this container.
+    ``fake=False`` (default) runs the REAL pure-Python header parsers;
+    ``fake=True`` keeps the md5-arithmetic stub kernel whose outputs the
+    q40 DuckDB oracle recomputes (the Arrow-plumbing contract check).
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kernel = _fake_decode if fake else _real_decode
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decoding requires PIL/av/soundfile — "
-                    "not available in this environment; pass fake=True "
-                    "for the deterministic stub kernel"
-                )
             rows = [
-                (mid, kind, *_fake_decode(kind, bytes(blob)))
+                (mid, kind, *kernel(kind, bytes(blob)))
                 for mid, kind, blob in zip(pdf["media_id"], pdf["kind"], pdf["bytes"])
             ]
             yield pd.DataFrame(
@@ -135,6 +152,42 @@ def frame_sample_plan(decoded: DataFrame, every_n: int = 25) -> DataFrame:
             ).alias("frame_idx"),
         )
     )
+
+
+def gen_real_media(spark, n: int = 60) -> DataFrame:
+    """Deterministic REAL media files (valid PNG/GIF/BMP/JPEG/WAV/MP4
+    built pure-Python in functions/media_headers.py) whose metadata
+    follows closed-form rules in the media id — so the q46 oracle states
+    the expected parse output from the same formulas WITHOUT sharing any
+    parsing code with the engine:
+
+    - i % 3 == 0 → image, format cycling [png, gif, bmp, jpeg] by i//3,
+      width = 16 + i % 97, height = 16 + (i * 7) % 59
+    - i % 3 == 1 → WAV, duration = (1 + i % 40) / 8  (exact: byte_rate
+      16000 ⇒ n bytes divisible, even)
+    - i % 3 == 2 → MP4, width = 160 + 16*(i % 20), height = 120 +
+      8*(i % 30), n_frames = 25 + i % 200, fps 25
+    """
+    from newscrawler_spark.functions import media_headers as mh
+
+    rows = []
+    img_makers = [mh.make_png, mh.make_gif, mh.make_bmp, mh.make_jpeg_header]
+    for i in range(n):
+        m = i % 3
+        if m == 0:
+            w, h = 16 + i % 97, 16 + (i * 7) % 59
+            blob = img_makers[(i // 3) % 4](w, h)
+            kind = "image"
+        elif m == 1:
+            blob = mh.make_wav((1 + i % 40) / 8)
+            kind = "audio"
+        else:
+            blob = mh.make_mp4(160 + 16 * (i % 20), 120 + 8 * (i % 30),
+                               25 + i % 200)
+            kind = "video"
+        rows.append((i, kind, blob, f"http://m.example/{kind}/{i}",
+                     kind + "/real", len(blob)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def gen_fake_media(spark, n: int = 64) -> DataFrame:
