@@ -237,6 +237,7 @@ def ivf_build_centroids(
     sample_fraction: float = 1.0,
     iters: int = 5,
     seed: int = 42,
+    assign: str = "auto",
 ) -> list[list[float]]:
     """IVF coarse quantizer: k-means centroids trained distributed.
 
@@ -262,9 +263,7 @@ def ivf_build_centroids(
     centroids = [row.v for row in seeded.collect()]
     e = e.select("v")
     for _ in range(iters):
-        assigned = e.withColumn(
-            "list_id", _nearest_centroid_expr(F.col("v"), centroids)
-        )
+        assigned = _with_list_id(e, centroids, "v", assign)
         sums = assigned.select(
             "list_id",
             *[F.element_at("v", d + 1).alias(f"d{d}") for d in range(dim)],
@@ -281,7 +280,14 @@ def ivf_build_centroids(
 def _nearest_centroid_expr(vec: Column, centroids: list[list[float]]) -> Column:
     """Cosine-argmax list assignment: the k similarities are computed
     ONCE into an array (bind_once), then argmax = first position of the
-    max — linear expression tree, deterministic lowest-index tie-break."""
+    max — linear expression tree, deterministic lowest-index tie-break.
+
+    SCALE CAP: the expression inlines k x dim double literals, so the
+    plan grows O(k·dim) — fine for the oracle tier (k=16, dim=64 ≈ 1k
+    literals) but wrong at IVF-realistic k (4k-65k lists). Assignment
+    beyond ~4k literals must use :func:`_assign_lists_gemm` (one numpy
+    GEMM per Arrow batch, constant plan size); ``assign="auto"`` in the
+    IVF entry points makes that switch."""
     from newscrawler_spark.operators.dedup import bind_once
 
     sims = F.array(*[
@@ -290,6 +296,49 @@ def _nearest_centroid_expr(vec: Column, centroids: list[list[float]]) -> Column:
     ])
     return bind_once(
         sims, lambda a: (F.array_position(a, F.array_max(a)) - 1).cast("int")
+    )
+
+
+def _assign_lists_gemm(
+    df: DataFrame, centroids: list[list[float]], vec_alias: str = "v",
+) -> DataFrame:
+    """Append ``list_id`` = cosine-argmax centroid via one numpy GEMM per
+    Arrow batch — the plan stays O(1) regardless of k (the centroid
+    matrix rides inside the serialized function, not the plan), so this
+    is the assignment form for IVF-realistic list counts. np.argmax
+    breaks ties at the lowest index, matching the expression form's
+    array_position tie-break; equality on real data is asserted in
+    tests/test_similarity.py."""
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", list_id int"
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array(pdf[vec_alias].tolist(), dtype=np.float64)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            pdf = pdf.copy()
+            pdf["list_id"] = np.argmax(Xn @ Cn.T, axis=1).astype(np.int32)
+            yield pdf
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
+def _with_list_id(df: DataFrame, centroids: list[list[float]],
+                  vec_alias: str, assign: str) -> DataFrame:
+    if assign == "auto":
+        assign = "expr" if len(centroids) * len(centroids[0]) <= 4096 \
+            else "gemm"
+    if assign == "gemm":
+        return _assign_lists_gemm(df, centroids, vec_alias)
+    return df.withColumn(
+        "list_id", _nearest_centroid_expr(F.col(vec_alias), centroids)
     )
 
 
@@ -303,6 +352,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    assign: str = "auto",
 ) -> DataFrame:
     """IVF search: corpus bucketed by nearest centroid (inverted lists);
     each query probes its ``n_probe`` nearest lists and exact-cosine
@@ -317,24 +367,31 @@ def ivf_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
     )
-    lists = e.withColumn("list_id", _nearest_centroid_expr(F.col("v"), centroids))
-    # per query: n_probe nearest centroids (tiny cross product, window cut)
-    cent_rows = [(i,) for i in range(len(centroids))]
-    spark = embeddings.sparkSession
-    cent_df = spark.createDataFrame(cent_rows, "list_id int")
-    probes = (
-        q.crossJoin(F.broadcast(cent_df))
-        .withColumn(
-            "sim",
-            _centroid_sim_expr(F.col("qv"), centroids),
+    eff = assign
+    if eff == "auto":
+        eff = "expr" if len(centroids) * len(centroids[0]) <= 4096 else "gemm"
+    lists = _with_list_id(e, centroids, "v", eff)
+    if eff == "gemm":
+        probe_keys = _probe_lists_gemm(q, centroids, n_probe)
+    else:
+        # per query: n_probe nearest centroids (tiny cross product, cut)
+        cent_rows = [(i,) for i in range(len(centroids))]
+        spark = embeddings.sparkSession
+        cent_df = spark.createDataFrame(cent_rows, "list_id int")
+        probes = (
+            q.crossJoin(F.broadcast(cent_df))
+            .withColumn(
+                "sim",
+                _centroid_sim_expr(F.col("qv"), centroids),
+            )
         )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("list_id"))
-    probe_keys = (
-        probes.withColumn("pr", F.row_number().over(w))
-        .where(F.col("pr") <= n_probe)
-        .select("query_id", "qv", "list_id")
-    )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("sim"), F.asc("list_id"))
+        probe_keys = (
+            probes.withColumn("pr", F.row_number().over(w))
+            .where(F.col("pr") <= n_probe)
+            .select("query_id", "qv", "list_id")
+        )
     scored = (
         lists.join(F.broadcast(probe_keys), "list_id")
         .withColumn("cos", cosine_expr(F.col("v"), F.col("qv")))
@@ -344,6 +401,36 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w2))
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def _probe_lists_gemm(q: DataFrame, centroids: list[list[float]],
+                      n_probe: int) -> DataFrame:
+    """(query_id, qv, list_id) rows for each query's ``n_probe`` nearest
+    centroids via one GEMM per Arrow batch — the O(1)-plan twin of the
+    cross-join+window probe (stable argsort reproduces the
+    sim DESC, list_id ASC tie-break)."""
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    npb = min(n_probe, len(centroids))
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array(pdf["qv"].tolist(), dtype=np.float64)
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            idx = np.argsort(-(Xn @ Cn.T), axis=1, kind="stable")[:, :npb]
+            yield pd.DataFrame({
+                "query_id": np.repeat(pdf["query_id"].to_numpy(), npb),
+                "qv": [v for v in pdf["qv"] for _ in range(npb)],
+                "list_id": idx.reshape(-1).astype(np.int32),
+            })
+
+    return q.mapInPandas(
+        gen, schema="query_id long, qv array<double>, list_id int"
     )
 
 

@@ -150,6 +150,35 @@ def test_ivf_topk_recall_and_determinism(spark, emb_df, queries_df):
     assert all((q, q) in approx for q in (0, 7, 42))
 
 
+def test_ivf_gemm_assignment_equals_expr(spark, emb_df, queries_df):
+    """The O(1)-plan GEMM assignment/probe path (IVF-realistic k) returns
+    the same results as the literal-expression oracle tier — same argmax
+    and probe tie-breaks."""
+    from newscrawler_spark.operators.similarity import (
+        ivf_build_centroids,
+        ivf_topk,
+    )
+
+    ce = ivf_build_centroids(emb_df, n_lists=8, dim=DIM, iters=2,
+                             assign="expr")
+    cg = ivf_build_centroids(emb_df, n_lists=8, dim=DIM, iters=2,
+                             assign="gemm")
+    assert all(
+        abs(a - b) < 1e-9 for ca, cb in zip(ce, cg) for a, b in zip(ca, cb)
+    )
+    r_expr = {
+        (r.query_id, r.vec_id, r.cos, r.rank)
+        for r in ivf_topk(emb_df, queries_df, ce, k=5, n_probe=4,
+                          assign="expr").collect()
+    }
+    r_gemm = {
+        (r.query_id, r.vec_id, r.cos, r.rank)
+        for r in ivf_topk(emb_df, queries_df, ce, k=5, n_probe=4,
+                          assign="gemm").collect()
+    }
+    assert r_expr == r_gemm
+
+
 def test_similarity_plans_are_jvm_only(spark, emb_df, queries_df):
     from newscrawler_spark.operators.similarity import (
         ivf_build_centroids,
