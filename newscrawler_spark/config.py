@@ -43,6 +43,26 @@ class CrawlConfig:
     # url_hash-bucketed pages table, set False to use the shuffle-free
     # bucketed sort-merge join instead (candidates >100M won't broadcast).
     broadcast_fetch_join: bool = True
+    # Physical strategy for the A3 fetch join. None = auto: "broadcast"
+    # for normal (bounded-candidate) rounds; "bucket" once the round's
+    # candidate set was materialized (A7 bulk mode, frontier >
+    # materialize_candidates_rows) — building a 10^8-row hash relation
+    # on the driver is the wrong shape there, while the co-bucketed
+    # candidates⋈pages shuffled-hash join moves ZERO page bytes and has
+    # no driver-side build at all. Explicit values override:
+    # "broadcast" | "bucket" | "shuffle".
+    fetch_join_strategy: str | None = None
+    # bucket count for the enriched-corpus table and the materialized
+    # candidate table (must match for the exchange-free join). Size it so
+    # one bucket of candidates fits an executor's hash-build memory:
+    # at 10^10 urls ~ 64k buckets; 32 covers every local test tier.
+    corpus_buckets: int = 32
+    # rank_in_host physical strategy: None = auto (distributed once the
+    # frontier exceeds materialize_candidates_rows). The window form sorts
+    # each host in ONE task — a 10^8-row host is a serial sort; the
+    # distributed form range-partitions on (host, total order) and adds
+    # per-slice offsets (frontier.rank_in_host_distributed).
+    distributed_rank: bool | None = None
     # ONE Arrow pass for stats+extraction+links (operators/process.py)
     # instead of three html transfers; False = the unfused operator chain
     fused_pipeline: bool = True

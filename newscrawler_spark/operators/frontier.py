@@ -57,6 +57,76 @@ def enrich_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def rank_in_host_distributed(
+    df: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """Exact per-host total-order rank WITHOUT a one-task-per-host sort.
+
+    ``Window.partitionBy("host")`` sorts each host in a single task — a
+    10^8-row host is a serial sort and the J4 scaling ceiling. This form
+    is fully distributed and returns the identical ``rank_in_host``:
+
+    1. range-partition on ``(host, total order)`` → every host's rows are
+       split into order-CONTIGUOUS slices (a slice boundary never
+       reorders rows within a host);
+    2. local rank inside each ``(host, slice)`` group — groups are
+       bounded by the range-partition size, never by host size;
+    3. per-(host, slice) counts: range slices hold contiguous host runs,
+       so there are ≤ #hosts + P − 1 such rows — a tiny table; a window
+       over it turns counts into running offsets;
+    4. ``rank = local_rank + offset`` via a broadcast join.
+
+    Exact under ANY choice of range boundaries (offsets account for the
+    actual slice contents) — but only if steps 2 and 3 see the SAME
+    boundaries. ``__slice`` comes from ``spark_partition_id()`` over a
+    sampled range exchange, and the offsets branch is a separate job:
+    left lazy, the two evaluations can sample different boundaries
+    (e.g. AQE re-plans the scan between jobs) and the offsets no longer
+    match the local ranks — observed, not hypothetical. The ranked
+    slices are therefore PERSISTED (memory-and-disk: spill, never
+    recompute) so both branches read one materialized slicing. The
+    frontier is a URL table — orders of magnitude smaller than the page
+    corpus — so this cache is cheap even at 10^10 urls/cluster scale;
+    the caller materializes candidates right after, so it is short-lived.
+    Ties are impossible: the total order ends in ``url_hash``.
+
+    Cost: 2 shuffles of the frontier (range + the (host,slice) window's
+    hash exchange) vs 1 for the window form — but every sort is bounded
+    by ``|frontier| / P``, so wall time scales with cores instead of with
+    the hottest host.
+    """
+    from pyspark import StorageLevel
+
+    p = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    parts = df.repartitionByRange(p, F.asc("host"), *order_cols()).withColumn(
+        "__slice", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("host", "__slice").orderBy(*order_cols())
+    local = parts.withColumn("__lrk", F.row_number().over(w_local)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    counts = local.groupBy("host", "__slice").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w_off = (
+        Window.partitionBy("host")
+        .orderBy("__slice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "host",
+        "__slice",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), ["host", "__slice"])
+        .withColumn("rank_in_host", (F.col("__lrk") + F.col("__off")).cast("int"))
+        .drop("__lrk", "__off", "__slice")
+    )
+
+
 def dedup_in_batch(df: DataFrame) -> DataFrame:
     """In-batch distinct by ``url_hash``, keeping the total-order winner
     (deterministic, unlike ``dropDuplicates`` which keeps an arbitrary row)."""
@@ -100,6 +170,7 @@ def schedule_round(
     frontier: DataFrame,
     cfg: CrawlConfig,
     host_budgets: DataFrame | None = None,
+    frontier_rows: int | None = None,
 ) -> DataFrame:
     """B7+B8 — pick this round's fetch candidates.
 
@@ -118,6 +189,16 @@ def schedule_round(
     4. ``rank_in_host`` recomputed on the final (small) candidate set so
        ranks are gap-free — the mini-oracle defines the same.
 
+    Physical strategy (``cfg.distributed_rank``; auto = on once
+    ``frontier_rows`` exceeds ``cfg.materialize_candidates_rows``): the
+    window form sorts each host in ONE task; the distributed form
+    (:func:`rank_in_host_distributed`) range-partitions the frontier and
+    adds per-slice offsets — identical output (equality-tested), every
+    sort bounded by ``|frontier| / P``. The budget filter on the
+    distributed rank keeps the rank-prefix 1..budget per host, so ranks
+    are already gap-free and no final window is needed when there is no
+    global cut.
+
     Returns frontier columns + ``budget`` + ``rank_in_host``.
     """
     fr = frontier
@@ -127,6 +208,27 @@ def schedule_round(
         )
     else:
         fr = fr.withColumn("budget", F.lit(cfg.per_host_budget))
+
+    dist = cfg.distributed_rank
+    if dist is None:
+        dist = (
+            frontier_rows is not None
+            and frontier_rows > cfg.materialize_candidates_rows
+        )
+    if dist:
+        ranked = rank_in_host_distributed(fr).select(*fr.columns, "rank_in_host")
+        cand = ranked.where(F.col("rank_in_host") <= F.col("budget"))
+        if cfg.batch_size is not None:
+            # global cut breaks per-host rank contiguity → recompute on
+            # the (small, ≤ batch_size) survivor set
+            w_host = Window.partitionBy("host").orderBy(*order_cols())
+            cand = (
+                cand.orderBy(*order_cols())
+                .limit(cfg.batch_size)
+                .drop("rank_in_host")
+                .withColumn("rank_in_host", F.row_number().over(w_host))
+            )
+        return cand
 
     counts = fr.groupBy("host").agg(F.count(F.lit(1)).alias("__n"))
     hot = counts.where(F.col("__n") > cfg.hot_host_threshold).select("host")

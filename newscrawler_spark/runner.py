@@ -161,11 +161,28 @@ def run_crawl(
 
     pages_dir = f"{state_dir}/pages_enriched"
     last = state.latest_round()
+    # A7/bulk mode (explicit url-list frontier ≈ the whole corpus) makes
+    # the candidate set too big to broadcast-build on the driver — write
+    # the enriched corpus BUCKETED by url_hash so each round's fetch join
+    # is the exchange-free bucketed SHJ (operators/bucketio.py). Explicit
+    # cfg.fetch_join_strategy overrides the auto signal either way.
+    from newscrawler_spark.operators import bucketio as BIO
+
+    bucket_corpus = cfg.fetch_join_strategy == "bucket" or (
+        cfg.fetch_join_strategy is None and extra_frontier is not None
+    )
     if last is None:
         # one-time corpus enrichment, persisted so every round scans
         # column-pruned parquet instead of recomputing canon over html
-        enrich_pages(pages).write.mode("overwrite").parquet(pages_dir)
-    pages_e = spark.read.parquet(pages_dir)
+        pe = enrich_pages(pages)
+        if bucket_corpus:
+            BIO.write_bucketed(pe, pages_dir, cfg.corpus_buckets, "url_hash")
+        else:
+            pe.write.mode("overwrite").parquet(pages_dir)
+    if BIO.is_bucketed(pages_dir):
+        pages_e = BIO.read_bucketed(spark, pages_dir)
+    else:
+        pages_e = spark.read.parquet(pages_dir)
 
     seeds_e = FR.enrich_urls(seeds, "seed_url")
     robots_rules = build_robots_rules_cached(spark, pages_e, state_dir)
@@ -245,8 +262,12 @@ def run_crawl(
             r -= 1
             break
 
-        # ---- B7/B8: schedule this round's candidates
-        cand = FR.schedule_round(frontier, cfg, budgets).drop("budget")
+        # ---- B7/B8: schedule this round's candidates (frontier_rows from
+        # the manifest drives the window-vs-distributed rank auto-switch)
+        cand = FR.schedule_round(
+            frontier, cfg, budgets,
+            frontier_rows=man_prev["row_counts"]["frontier"],
+        ).drop("budget")
 
         # ---- A3: "fetch" = corpus join on url_hash. The candidate set is
         # bounded (hosts×budget / batch_size) so it broadcasts and the
@@ -260,21 +281,44 @@ def run_crawl(
             # the extra job; frontier size comes free from the manifest
             mat = (man_prev["row_counts"]["frontier"]
                    > cfg.materialize_candidates_rows)
+        if cfg.fetch_join_strategy is not None:
+            strat = cfg.fetch_join_strategy
+        elif mat and BIO.is_bucketed(pages_dir):
+            strat = "bucket"
+        elif cfg.broadcast_fetch_join:
+            strat = "broadcast"
+        else:
+            strat = "shuffle"
         if mat:
-            # one parallel write, then every broadcast build is a cheap
+            # one parallel write, then every downstream build is a cheap
             # columnar re-scan — without this, each consuming action's
             # broadcast subjob re-walks the window/cache lineage (profiled
-            # as the second-largest task-time bucket in the bulk round)
+            # as the second-largest task-time bucket in the bulk round).
+            # In bucket mode the write doubles as the join's co-bucketing.
             with _phase("schedule+cand_write"):
                 cand_path = f"{state_dir}/scratch_cand"
-                cand.write.mode("overwrite").parquet(cand_path)
-                cand = spark.read.parquet(cand_path)
+                if strat == "bucket":
+                    BIO.write_bucketed(
+                        cand, cand_path, cfg.corpus_buckets, "url_hash"
+                    )
+                    cand = BIO.read_bucketed(spark, cand_path)
+                else:
+                    cand.write.mode("overwrite").parquet(cand_path)
+                    cand = spark.read.parquet(cand_path)
         else:
             cand = cand.persist()
         page_cols = pages_e.select(
             "url_hash", F.col("url").alias("page_url"), "warc_ts", "html", "lang"
         )
-        cand_side = F.broadcast(cand) if cfg.broadcast_fetch_join else cand
+        if strat == "broadcast":
+            cand_side = F.broadcast(cand)
+        elif strat == "bucket":
+            # both sides bucketed by url_hash into cfg.corpus_buckets →
+            # SHJ with zero exchange and zero sort; build side = one
+            # bucket of candidates, never the whole set
+            cand_side = cand.hint("shuffle_hash")
+        else:
+            cand_side = cand
         # fetched set: JVM cache by default; scratch parquet when a
         # round's html payload outsizes executor memory (cfg flag)
         scratch = f"{state_dir}/scratch_round"

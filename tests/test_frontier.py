@@ -160,3 +160,65 @@ def test_enrich_plan_has_no_python_stage(spark):
     df = spark.createDataFrame([("http://www.X.com/a?b=1&a=2",)], "url string")
     plan = FR.enrich_urls(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_distributed_rank_equals_window(spark, skew_frontier):
+    """J4 — the distributed (range-slice + offsets) rank must reproduce
+    the window form's candidate set and ranks EXACTLY, with and without
+    the global cut."""
+    for bs in (None, 100):
+        w_cfg = CrawlConfig(per_host_budget=7, batch_size=bs, distributed_rank=False)
+        d_cfg = CrawlConfig(per_host_budget=7, batch_size=bs, distributed_rank=True)
+        want = sorted(
+            (r.url_hash, r.rank_in_host)
+            for r in FR.schedule_round(skew_frontier, w_cfg).collect()
+        )
+        got = sorted(
+            (r.url_hash, r.rank_in_host)
+            for r in FR.schedule_round(skew_frontier, d_cfg).collect()
+        )
+        assert got == want
+
+
+def test_distributed_rank_unbounded_budget_is_identity(spark, skew_frontier):
+    """Bulk (A7) mode: budget >= host size must keep every row, ranks
+    gap-free 1..n per host without any final window."""
+    cfg = CrawlConfig(per_host_budget=10**9, batch_size=None, distributed_rank=True)
+    got = FR.schedule_round(skew_frontier, cfg)
+    rows = got.collect()
+    assert len(rows) == skew_frontier.count()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r.rank_in_host)
+    for host, ranks in by_host.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_distributed_rank_stable_across_evaluations(spark, skew_frontier):
+    """The __slice id comes from spark_partition_id over a sampled range
+    exchange; the offsets branch is a separate job. The persist inside
+    rank_in_host_distributed pins one slicing — repeated full evaluations
+    must agree (this failed before the persist when AQE re-planned the
+    scan between the offsets job and the main job)."""
+    cfg = CrawlConfig(per_host_budget=10**9, batch_size=None, distributed_rank=True)
+    a = sorted(
+        (r.url_hash, r.rank_in_host)
+        for r in FR.schedule_round(skew_frontier, cfg).collect()
+    )
+    b = sorted(
+        (r.url_hash, r.rank_in_host)
+        for r in FR.schedule_round(skew_frontier, cfg).collect()
+    )
+    assert a == b
+
+
+def test_schedule_auto_switches_on_frontier_rows(spark, skew_frontier):
+    """frontier_rows (manifest count) drives the auto window/distributed
+    choice; both sides of the switch give the same answer."""
+    cfg = CrawlConfig(per_host_budget=7, batch_size=None,
+                      materialize_candidates_rows=10)
+    assert cfg.distributed_rank is None
+    small = FR.schedule_round(skew_frontier, cfg, frontier_rows=5)
+    big = FR.schedule_round(skew_frontier, cfg, frontier_rows=10_000)
+    key = lambda df: sorted((r.url_hash, r.rank_in_host) for r in df.collect())
+    assert key(small) == key(big)
