@@ -49,6 +49,67 @@ from newscrawler_spark.operators.store import (
 ROUNDS_SCHEMA = "run_id string, round int, committed_at double"
 
 
+# --- statement builders (pure text; golden-tested offline in
+# tests/test_store_backends.py so the semantics are pinned even though
+# no Iceberg runtime jar resolves in this sandbox) -------------------
+
+def create_table_sql(ns: str, name: str, schema: str,
+                     partition: str | None) -> str:
+    cols = ", ".join(schema.split(", "))
+    part = f" PARTITIONED BY ({partition})" if partition else ""
+    return (
+        f"CREATE TABLE IF NOT EXISTS {ns}.{name} ({cols}) "
+        f"USING iceberg{part}"
+    )
+
+
+def delete_round_sql(ns: str, name: str, r: int) -> str:
+    """Heal a torn prior attempt before re-appending round ``r`` (the
+    Iceberg analog of the parquet backend's ``mode('overwrite')``)."""
+    return f"DELETE FROM {ns}.{name} WHERE fetch_round = {r}"
+
+
+def merge_articles_sql(ns: str) -> str:
+    """F2 current/archive MERGE: newest version per url_hash wins, same
+    (download_date, warc_ts, url) order as extract.with_is_current."""
+    return f"""
+            MERGE INTO {ns}.articles_current t
+            USING (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY url_hash
+                        ORDER BY download_date DESC, warc_ts DESC, url ASC
+                    ) AS __rn FROM _art_delta
+                ) WHERE __rn = 1
+            ) s
+            ON t.url_hash = s.url_hash
+            WHEN MATCHED AND (s.download_date > t.download_date
+                  OR (s.download_date = t.download_date
+                      AND s.warc_ts > t.warc_ts)) THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+        """
+
+
+def compact_merge_sql(ns: str, upto: int) -> str:
+    """Fold COMMITTED seen deltas ≤ upto into seen_base, carrying each
+    key's first fetch_round so read_seen(upto) stays as-of-correct."""
+    return f"""
+            MERGE INTO {ns}.seen_base t
+            USING (SELECT url_hash, MIN(fetch_round) AS first_round
+                   FROM {ns}.seen_delta
+                   WHERE fetch_round <= {upto}
+                     AND fetch_round IN
+                         (SELECT round FROM {ns}.rounds)
+                   GROUP BY url_hash) s
+            ON t.url_hash = s.url_hash
+            WHEN NOT MATCHED THEN INSERT *
+        """
+
+
+def compact_drop_deltas_sql(ns: str, upto: int) -> str:
+    return f"DELETE FROM {ns}.seen_delta WHERE fetch_round <= {upto}"
+
+
 def iceberg_available(spark: SparkSession, catalog: str = "crawl") -> bool:
     """True iff an Iceberg catalog named ``catalog`` is usable in this
     session (extensions + runtime jar + catalog conf all present)."""
@@ -98,12 +159,7 @@ class IcebergCrawlState:
             "seen_base": (SEEN_SCHEMA + ", first_round int", None),
         }
         for name, (schema, part) in ddl.items():
-            cols = ", ".join(schema.split(", "))
-            partition = f" PARTITIONED BY ({part})" if part else ""
-            self.spark.sql(
-                f"CREATE TABLE IF NOT EXISTS {self.ns}.{name} ({cols}) "
-                f"USING iceberg{partition}"
-            )
+            self.spark.sql(create_table_sql(self.ns, name, schema, part))
 
     # --------------------------------------------------------- rounds
 
@@ -155,9 +211,7 @@ class IcebergCrawlState:
             # and the marker append leaves orphan rows for round r that a
             # blind re-append would duplicate once the marker lands —
             # clear the partition first (parquet parity: mode('overwrite'))
-            self.spark.sql(
-                f"DELETE FROM {self.ns}.{name} WHERE fetch_round = {r}"
-            )
+            self.spark.sql(delete_round_sql(self.ns, name, r))
             df.writeTo(f"{self.ns}.{name}").append()
             counts[name] = (
                 self.spark.table(f"{self.ns}.{name}")
@@ -165,9 +219,7 @@ class IcebergCrawlState:
             )
         if counters is None:
             counters = counters_builder(counts)
-        self.spark.sql(
-            f"DELETE FROM {self.ns}.counters WHERE fetch_round = {r}"
-        )
+        self.spark.sql(delete_round_sql(self.ns, "counters", r))
         counters.writeTo(f"{self.ns}.counters").append()
         counts["counters"] = 1
         # THE commit point: marker append (atomic Iceberg snapshot)
@@ -221,22 +273,7 @@ class IcebergCrawlState:
         per url_hash wins (download_date, warc_ts, url tie-break — the
         same ordering as extract.with_is_current)."""
         articles_delta.createOrReplaceTempView("_art_delta")
-        self.spark.sql(f"""
-            MERGE INTO {self.ns}.articles_current t
-            USING (
-                SELECT * FROM (
-                    SELECT *, row_number() OVER (
-                        PARTITION BY url_hash
-                        ORDER BY download_date DESC, warc_ts DESC, url ASC
-                    ) AS __rn FROM _art_delta
-                ) WHERE __rn = 1
-            ) s
-            ON t.url_hash = s.url_hash
-            WHEN MATCHED AND (s.download_date > t.download_date
-                  OR (s.download_date = t.download_date
-                      AND s.warc_ts > t.warc_ts)) THEN UPDATE SET *
-            WHEN NOT MATCHED THEN INSERT *
-        """)
+        self.spark.sql(merge_articles_sql(self.ns))
 
     # ----------------------------------------------------------- reads
 
@@ -323,18 +360,6 @@ class IcebergCrawlState:
         # fold COMMITTED deltas only (a torn round's orphan rows must not
         # leak into the base), carrying each key's first fetch_round so
         # read_seen(upto) stays correct after the deltas are dropped
-        self.spark.sql(f"""
-            MERGE INTO {self.ns}.seen_base t
-            USING (SELECT url_hash, MIN(fetch_round) AS first_round
-                   FROM {self.ns}.seen_delta
-                   WHERE fetch_round <= {upto}
-                     AND fetch_round IN
-                         (SELECT round FROM {self.ns}.rounds)
-                   GROUP BY url_hash) s
-            ON t.url_hash = s.url_hash
-            WHEN NOT MATCHED THEN INSERT *
-        """)
-        self.spark.sql(
-            f"DELETE FROM {self.ns}.seen_delta WHERE fetch_round <= {upto}"
-        )
+        self.spark.sql(compact_merge_sql(self.ns, upto))
+        self.spark.sql(compact_drop_deltas_sql(self.ns, upto))
         return upto

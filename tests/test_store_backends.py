@@ -148,3 +148,73 @@ def test_torn_commit_invisible(spark, backend):
         ).writeTo(f"{st.ns}.seen_delta").append()
     assert st.latest_round() == 0
     assert {r.url_hash for r in st.read_seen().collect()} == {1}
+
+
+# --- statement goldens (VERDICT r2 #6): the exact SQL the Iceberg
+# backend issues, pinned offline so the semantics are testable without a
+# runtime jar. The skip above is thereby narrowed to execution only.
+
+
+def test_iceberg_create_table_statements_golden():
+    from newscrawler_spark.operators import store_iceberg as SI
+
+    got = SI.create_table_sql(
+        "crawl.state", "frontier", "url string, fetch_round int",
+        "fetch_round",
+    )
+    assert got == (
+        "CREATE TABLE IF NOT EXISTS crawl.state.frontier "
+        "(url string, fetch_round int) USING iceberg "
+        "PARTITIONED BY (fetch_round)"
+    )
+    assert SI.create_table_sql("crawl.state", "rounds", "round int", None) == (
+        "CREATE TABLE IF NOT EXISTS crawl.state.rounds (round int) "
+        "USING iceberg"
+    )
+
+
+def test_iceberg_heal_delete_statement_golden():
+    """commit_round must clear round r's partition before re-appending —
+    the idempotency fix for a crash between data appends and the rounds
+    marker (parquet parity: mode('overwrite'))."""
+    from newscrawler_spark.operators import store_iceberg as SI
+
+    assert SI.delete_round_sql("crawl.state", "fetch_log", 7) == (
+        "DELETE FROM crawl.state.fetch_log WHERE fetch_round = 7"
+    )
+
+
+def test_iceberg_articles_merge_statement_golden():
+    """F2 MERGE: newest (download_date, warc_ts) per url_hash wins with
+    the url tie-break — the exact ordering of extract.with_is_current;
+    the source dedups the delta to one row per key first (Iceberg MERGE
+    rejects multi-row matches)."""
+    from newscrawler_spark.operators import store_iceberg as SI
+
+    sql = SI.merge_articles_sql("crawl.state")
+    assert "MERGE INTO crawl.state.articles_current t" in sql
+    assert ("PARTITION BY url_hash" in sql
+            and "ORDER BY download_date DESC, warc_ts DESC, url ASC" in sql
+            and "WHERE __rn = 1" in sql)
+    assert "WHEN MATCHED AND (s.download_date > t.download_date" in sql
+    assert ("(s.download_date = t.download_date" in sql
+            and "AND s.warc_ts > t.warc_ts)) THEN UPDATE SET *" in sql)
+    assert "WHEN NOT MATCHED THEN INSERT *" in sql
+
+
+def test_iceberg_compact_statements_golden():
+    """compact_seen folds COMMITTED deltas only (subselect on rounds),
+    carries MIN(fetch_round) as first_round for as-of reads, and drops
+    folded partitions in a separate (crash-ordering-safe) snapshot."""
+    from newscrawler_spark.operators import store_iceberg as SI
+
+    sql = SI.compact_merge_sql("crawl.state", 9)
+    assert "MERGE INTO crawl.state.seen_base t" in sql
+    assert "MIN(fetch_round) AS first_round" in sql
+    assert "WHERE fetch_round <= 9" in sql
+    assert "fetch_round IN" in sql and "SELECT round FROM crawl.state.rounds" in sql
+    assert "WHEN NOT MATCHED THEN INSERT *" in sql
+    assert "WHEN MATCHED" not in sql.replace("WHEN NOT MATCHED", "")
+    assert SI.compact_drop_deltas_sql("crawl.state", 9) == (
+        "DELETE FROM crawl.state.seen_delta WHERE fetch_round <= 9"
+    )
