@@ -83,6 +83,9 @@ def enrich_pages(pages: DataFrame) -> DataFrame:
         e.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__rn")
+        # precomputed so byte counters never force an html column read
+        # (the streaming-fetch path prunes its key join to slim columns)
+        .withColumn("html_bytes", F.length("html").cast("long"))
     )
 
 
@@ -319,41 +322,81 @@ def run_crawl(
             cand_side = cand.hint("shuffle_hash")
         else:
             cand_side = cand
-        # fetched set: JVM cache by default; scratch parquet when a
-        # round's html payload outsizes executor memory (cfg flag)
+        def _log_cols(df):
+            return df.select(
+                "url", "url_canon", "url_hash", "host",
+                F.lit(r).alias("fetch_round"),
+                "rank_in_host", "priority", "depth", "seed_host", "retry",
+                "status",
+                F.spark_partition_id().alias("partition_id"),
+                F.concat_ws(
+                    ":", F.lit(run_id), F.lit(r), F.spark_partition_id()
+                ).alias("lineage_id"),
+            )
+
+        def _with_crawler(df):
+            return df.join(F.broadcast(seed_crawlers), "seed_host", "left").withColumn(
+                "crawler", F.coalesce("crawler", F.lit(cfg.default_crawler))
+            )
+
         scratch = f"{state_dir}/scratch_round"
-        if cfg.scratch_fetched:
-            page_cols.join(cand_side, "url_hash").write.mode("overwrite").parquet(scratch)
-            hit = spark.read.parquet(scratch)
+        if strat == "bucket" and not cfg.scratch_fetched:
+            # STREAMING fetched set — at bulk scale the hit set ≈ the
+            # corpus, and materializing its html (JVM cache or scratch
+            # parquet) is the round's GC/IO bill: profiled 10x GC blowup
+            # at 4x width from the heap-cached html alone. Instead:
+            # (a) statuses come from a SLIM key join — the bucketed scan
+            #     prunes the corpus read to the url_hash column;
+            # (b) the full html join runs exactly once, fused straight
+            #     into the Arrow pass — html flows scan→extract and is
+            #     never stored anywhere.
+            hb = (
+                F.col("html_bytes") if "html_bytes" in pages_e.columns
+                else F.length("html").cast("long")  # legacy state dir
+            )
+            hit_keys = (
+                pages_e.select("url_hash", hb.alias("html_bytes"))
+                .join(cand.select("url_hash").hint("shuffle_hash"), "url_hash")
+                .persist()
+            )
+            hit = None
+            fetched_slim = _with_crawler(
+                cand.join(
+                    hit_keys.select("url_hash").withColumn("__hit", F.lit(True)),
+                    "url_hash", "left"
+                ).withColumn(
+                    "status",
+                    F.when(F.col("__hit").isNotNull(), 200).otherwise(404),
+                ).drop("__hit")
+            )
+            fetch_log = _log_cols(fetched_slim)
+            ok = _with_crawler(
+                page_cols.join(cand_side, "url_hash")
+            ).withColumn("status", F.lit(200))
         else:
-            hit = page_cols.join(cand_side, "url_hash").persist()
-        miss = (
-            cand.join(hit.select("url_hash"), "url_hash", "left_anti")
-            .withColumn("page_url", F.lit(None).cast("string"))
-            .withColumn("warc_ts", F.lit(None).cast("timestamp"))
-            .withColumn("html", F.lit(None).cast("binary"))
-            .withColumn("lang", F.lit(None).cast("string"))
-        )
-        fetched = (
-            hit.unionByName(miss.select(hit.columns))
-            .join(F.broadcast(seed_crawlers), "seed_host", "left")
-            .withColumn("crawler", F.coalesce("crawler", F.lit(cfg.default_crawler)))
-            .withColumn(
+            # bounded rounds: hit set is small — JVM cache by default;
+            # scratch parquet when a round's html payload outsizes
+            # executor memory (cfg flag)
+            if cfg.scratch_fetched:
+                page_cols.join(cand_side, "url_hash").write.mode(
+                    "overwrite"
+                ).parquet(scratch)
+                hit = spark.read.parquet(scratch)
+            else:
+                hit = page_cols.join(cand_side, "url_hash").persist()
+            miss = (
+                cand.join(hit.select("url_hash"), "url_hash", "left_anti")
+                .withColumn("page_url", F.lit(None).cast("string"))
+                .withColumn("warc_ts", F.lit(None).cast("timestamp"))
+                .withColumn("html", F.lit(None).cast("binary"))
+                .withColumn("lang", F.lit(None).cast("string"))
+            )
+            fetched = hit.unionByName(miss.select(hit.columns))
+            fetched = _with_crawler(fetched).withColumn(
                 "status", F.when(F.col("html").isNotNull(), 200).otherwise(404)
             )
-        )
-
-        fetch_log = fetched.select(
-            "url", "url_canon", "url_hash", "host",
-            F.lit(r).alias("fetch_round"),
-            "rank_in_host", "priority", "depth", "seed_host", "retry", "status",
-            F.spark_partition_id().alias("partition_id"),
-            F.concat_ws(":", F.lit(run_id), F.lit(r), F.spark_partition_id()).alias(
-                "lineage_id"
-            ),
-        )
-
-        ok = fetched.where(F.col("status") == 200)
+            fetch_log = _log_cols(fetched)
+            ok = fetched.where(F.col("status") == 200)
 
         if cfg.fused_pipeline:
             # ---- D+E+C fused: ONE Arrow pass (stats, article record,
@@ -438,9 +481,18 @@ def run_crawl(
         # fetched set); every row count comes free from the parquet
         # footers of the committed tables via counters_builder
         with _phase("hit_materialize+stats"):
-            ok_stats = hit.agg(
-                F.count(F.lit(1)).alias("n"), F.sum(F.length("html")).alias("b")
-            ).first()
+            if hit is None:
+                # streaming-fetch path: the slim key join already carries
+                # the precomputed byte counts — no html read
+                ok_stats = hit_keys.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("html_bytes").alias("b"),
+                ).first()
+            else:
+                ok_stats = hit.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.length("html")).alias("b"),
+                ).first()
 
         def build_counters(counts: dict):
             n_sched = counts["fetch_log"]
@@ -480,7 +532,9 @@ def run_crawl(
         frames = [cand, fetch_log, children, articles, gated_children]
         if processed is not None:
             frames.append(processed)
-        if cfg.scratch_fetched:
+        if hit is None:
+            frames.append(hit_keys)
+        elif cfg.scratch_fetched:
             import shutil as _shutil
 
             _shutil.rmtree(scratch, ignore_errors=True)

@@ -39,24 +39,18 @@ def get_spark(
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cores)
         shuffle_partitions = cores if n == "*" else int(n)
 
-    # GC by executor width (overridable via SPARK_GRAFT_GC):
-    # - narrow (<8 task threads): ParallelGC — throughput collector wins
-    #   when cores are scarce (ZGC's concurrent threads would steal them);
-    # - wide (>=8): ZGC — stop-the-world collections of the throughput
-    #   collectors pause ALL task threads at once, and that coupling cost
-    #   grows with width (measured: local[16] bulk round 65s ParallelGC →
-    #   46s ZGC at 12g). On a real cluster each executor JVM is narrow
-    #   (4-8 cores) and tunes independently; this mirrors that choice.
-    try:
-        inner = master[master.find("[") + 1 : master.find("]")].split(",")
-        # local[W] → W; local-cluster[n,W,mem] → per-executor W
-        width = int(inner[1] if master.startswith("local-cluster") else inner[0])
-    except (ValueError, IndexError):
-        width = cores
-    gc_flag = os.environ.get(
-        "SPARK_GRAFT_GC",
-        "-XX:+UseZGC" if width >= 8 else "-XX:+UseParallelGC",
-    )
+    # GC (overridable via SPARK_GRAFT_GC): ParallelGC at every width.
+    # History: round 2 used ZGC at >=8 task threads because the fetch
+    # join heap-cached each round's html payload (GB-scale old-gen;
+    # local[16] bulk round 65s ParallelGC → 46s ZGC at 12g). Round 3's
+    # streaming fetch path (runner.py) never stores html — it flows
+    # scan→Arrow extract — so the heap is allocation-light again and the
+    # throughput collector wins at width too (profiled local[16] bulk
+    # round: ZGC 47.1s wall / 88.9s GC / 303.8s CPU vs ParallelGC 40.6s
+    # wall / 31.5s GC / 268.3s CPU; ZGC's concurrent cycles burn task
+    # CPU proportional to allocation rate). ParallelGC also undoes the
+    # +25-40% ZGC tax on sub-second contract queries (VERDICT r2 #6).
+    gc_flag = os.environ.get("SPARK_GRAFT_GC", "-XX:+UseParallelGC")
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)

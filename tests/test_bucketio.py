@@ -104,7 +104,12 @@ def test_fetch_join_strategies_commit_identical_state(spark, tmpdir):
             (r.url_hash, r.status, r.rank_in_host)
             for r in res.state.read_fetch_log(1).collect()
         )
-        return arts, log
+        ctr = [
+            (r.urls_scheduled, r.urls_fetched, r.bytes_fetched,
+             r.articles_extracted)
+            for r in res.state.read_counters().collect()
+        ]
+        return arts, log, ctr
 
     base = run("broadcast")
     assert run("bucket") == base
