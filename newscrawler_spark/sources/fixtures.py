@@ -62,6 +62,11 @@ TIERS = {
     # scaling-evidence tier: ~1.25M pages so the Arrow extract/discover
     # compute dominates fixed orchestration cost (BENCH/BASELINE.md)
     "benchxl": Tier(hosts=50, articles_per_host=20000, hot_hosts=2),
+    # 2x benchxl: longer rounds amortize the constant per-round driver
+    # orchestration cost the way production-size rounds (batch_size in
+    # the millions at 10^10-URL scale) do — used for the efficiency-vs-
+    # round-size curve in BENCH/BASELINE.md
+    "benchxxl": Tier(hosts=50, articles_per_host=40000, hot_hosts=2),
 }
 
 _WORDS_EN = (
