@@ -77,6 +77,42 @@ def exact_dedup(documents: DataFrame, id_col: str = "doc_id",
     )
 
 
+def posting_skew_probe(
+    documents: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    skew_sample: float = 0.05,
+    skew_ratio: float = 0.05,
+) -> bool:
+    """Decide whether the corpus's shingle postings are skewed enough that
+    the plain postings self-join would blow up quadratically on a hot
+    shingle (boilerplate text ⇒ one shingle shared by a large doc
+    fraction).
+
+    Shards a seeded ``skew_sample`` fraction of documents into postings
+    and compares the hottest shingle's document frequency to the sampled
+    doc count; returns True when the ratio exceeds ``skew_ratio``. One
+    small aggregate over the sample — O(sample), not a corpus pass — so
+    the decision stays cheap at 100 TB.
+    """
+    probe = (
+        documents.sample(fraction=min(1.0, skew_sample), seed=42)
+        .select(F.explode(shingles_expr(text_col, n)).alias("s"),
+                F.col(id_col).alias("id"))
+    )
+    stats = (
+        probe.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.max("df").alias("max_df"))
+        .crossJoin(probe.agg(F.countDistinct("id").alias("n_docs")))
+    ).collect()[0]
+    return bool(
+        stats["n_docs"] and stats["max_df"] is not None
+        and stats["max_df"] / stats["n_docs"] > skew_ratio
+    )
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     threshold: float = 0.5,
@@ -118,20 +154,9 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"), shingles_expr(text_col, n).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
     if prefix_filter == "auto":
-        probe = (
-            documents.sample(fraction=min(1.0, skew_sample), seed=42)
-            .select(F.explode(shingles_expr(text_col, n)).alias("s"),
-                    F.col(id_col).alias("id"))
-        )
-        stats = (
-            probe.groupBy("s")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .agg(F.max("df").alias("max_df"))
-            .crossJoin(probe.agg(F.countDistinct("id").alias("n_docs")))
-        ).collect()[0]
-        prefix_filter = bool(
-            stats["n_docs"] and stats["max_df"] is not None
-            and stats["max_df"] / stats["n_docs"] > skew_ratio
+        prefix_filter = posting_skew_probe(
+            documents, n=n, id_col=id_col, text_col=text_col,
+            skew_sample=skew_sample, skew_ratio=skew_ratio,
         )
     if not prefix_filter:
         posts = sh.select("id", "n_sh", F.explode("sh").alias("s"))

@@ -116,6 +116,93 @@ def test_prefix_filter_equals_plain_postings(spark, docs_df):
         assert fast == ref, t
 
 
+BOILER = "subscribe to our newsletter for daily updates follow us on social media"
+
+
+def _boiler_text(i: int) -> str:
+    k = i // 2  # docs 2k and 2k+1 are twins differing in ONE final token
+    tail = "today" if i % 2 == 0 else "tonight"
+    return (f"{BOILER} story {k} about topic{k} said source{k} in region{k} "
+            f"on day{k} with quote{k} and detail{k} number{k} {tail}")
+
+
+@pytest.fixture(scope="module")
+def boiler_df(spark):
+    """Boilerplate-heavy corpus: every doc shares a 12-token banner, so the
+    banner shingles have df == n_docs and the plain postings self-join is
+    quadratic on them — the shape the auto probe must catch. Twin docs
+    (2k, 2k+1) differ in one trailing token ⇒ 15 genuine near-dup pairs
+    (jaccard 25/27 ≈ 0.926), findable by the rare-shingle prefixes alone."""
+    rows = [(i, _boiler_text(i)) for i in range(30)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_posting_skew_probe_decisions(spark, boiler_df):
+    from newscrawler_spark.operators.dedup import posting_skew_probe
+
+    # boilerplate corpus: hottest shingle appears in EVERY doc -> skewed
+    assert posting_skew_probe(boiler_df, skew_sample=1.0) is True
+    # near-unique shingles: hottest df == 1 over 40 docs -> not skewed
+    uniq = spark.createDataFrame(
+        [(i, f"w{i}a w{i}b w{i}c w{i}d w{i}e") for i in range(40)],
+        "doc_id long, text string",
+    )
+    assert posting_skew_probe(uniq, skew_sample=1.0) is False
+
+
+def test_auto_prefix_on_boilerplate(spark, boiler_df):
+    """auto picks the prefix filter on the skewed corpus and stays EXACT:
+    same pairs as the plain join, while the prefix candidate space is a
+    small fraction of the plain join's quadratic hot-posting blowup."""
+    from newscrawler_spark.operators.dedup import shingles_expr
+
+    t = 0.5
+    auto = {
+        (r.id1, r.id2): r.jaccard
+        for r in ngram_jaccard_pairs(
+            boiler_df, threshold=t, prefix_filter="auto", skew_sample=1.0
+        ).collect()
+    }
+    plain = {
+        (r.id1, r.id2): r.jaccard
+        for r in ngram_jaccard_pairs(
+            boiler_df, threshold=t, prefix_filter=False
+        ).collect()
+    }
+    assert auto == plain
+    # exactly the 15 twin pairs qualify (jaccard 25/27), no banner-only pair
+    assert set(auto) == {(2 * k, 2 * k + 1) for k in range(15)}
+
+    # the measurable win: candidate pairs examined by each path
+    sh = boiler_df.select(
+        F.col("doc_id").alias("id"), shingles_expr("text", 3).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    posts = sh.select("id", "n_sh", F.explode("sh").alias("s"))
+    plain_cand = (
+        posts.alias("x").join(posts.alias("y"), "s")
+        .where(F.col("x.id") < F.col("y.id"))
+        .select("x.id", "y.id").distinct().count()
+    )
+    from pyspark.sql import Window
+
+    freq = posts.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("s"))
+    pref = (
+        posts.join(freq, "s")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= F.col("n_sh")
+               - F.ceil(F.lit(t) * F.col("n_sh") - F.lit(1e-9)) + 1)
+    )
+    pref_cand = (
+        pref.alias("x").join(pref.alias("y"), "s")
+        .where(F.col("x.id") < F.col("y.id"))
+        .select("x.id", "y.id").distinct().count()
+    )
+    n = boiler_df.count()
+    assert plain_cand == n * (n - 1) // 2          # every pair collides
+    assert pref_cand < plain_cand // 4             # prefixes shed the banner
+
+
 def test_minhash_md5_parameterization_equivalent(spark, docs_df):
     """The md5-parameterized family (driver-oracle path, q32) finds the
     same verified near-dup pairs as the xxhash64 default on a corpus where
