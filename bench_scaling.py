@@ -42,13 +42,35 @@ from newscrawler_spark.session import get_spark  # noqa: E402
 SCALING_CONF = {
     "spark.sql.adaptive.enabled": "false",
     "spark.sql.files.maxPartitionBytes": "64m",
+    # a python worker crash mid-bench should name its line, and one
+    # flaky worker death (seen once in ~6 runs: daemon fork broken-pipe
+    # after a stuck task) should not abort a 40-minute measurement
+    "spark.python.worker.faulthandler.enabled": "true",
+    "spark.task.maxFailures": "3",
 }
 
 
-def run_at(cores: int, tier: str) -> dict:
-    spark = get_spark(master=f"local[{cores}]", shuffle_partitions=max(cores, 16),
+def run_at(cores: int, tier: str, master: str | None = None) -> dict:
+    """Run the bulk-crawl job at one parallelism level.
+
+    ``master`` defaults to ``local[cores]``. A ``local-cluster[n,c,mem]``
+    master runs REAL executor JVMs (separate processes, own heaps/GCs,
+    torrent broadcast, netty shuffle) — the closest sandbox proxy to N
+    vs 4N executors; ``cores`` must equal n*c and executor memory is
+    sized from the mem field.
+    """
+    conf = dict(SCALING_CONF)
+    if master is None:
+        master = f"local[{cores}]"
+    if master.startswith("local-cluster"):
+        mem_mb = int(master[master.find("[") + 1 : master.find("]")].split(",")[2])
+        conf["spark.executor.memory"] = f"{mem_mb}m"
+        # executor-side Python workers import the package from the repo
+        conf["spark.executorEnv.PYTHONPATH"] = os.path.dirname(
+            os.path.abspath(__file__))
+    spark = get_spark(master=master, shuffle_partitions=max(cores, 16),
                       app_name=f"bench-scaling-{cores}",
-                      extra_conf=SCALING_CONF)
+                      extra_conf=conf)
     try:
         # warm-up: tiny action to JIT the hot paths before timing
         spark.range(10**6).selectExpr("sum(id)").collect()
@@ -66,11 +88,26 @@ def main() -> None:
     small_n = int(os.environ.get("SPARK_GRAFT_SMALL_CORES", "4"))
     large_n = 4 * small_n
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+    # SPARK_GRAFT_SCALING_MASTERS="<small>:<large>" overrides the
+    # local[N] pair, e.g. "local-cluster[1,4,8192]:local-cluster[4,4,8192]"
+    # = N vs 4N REAL executor JVMs (the north rule's literal form);
+    # small_n/large_n must then be set to the matching total core counts.
+    masters = os.environ.get("SPARK_GRAFT_SCALING_MASTERS", "")
+    small_master, large_master = (
+        masters.split(":", 1) if masters else (None, None)
+    )
+
+    def run_with_retry(cores: int, master: str | None) -> dict:
+        try:
+            return run_at(cores, tier, master)
+        except Exception as e:  # one retry per leg: rare worker-death flake
+            print(json.dumps({"retry": cores, "error": str(e)[:200]}))
+            return run_at(cores, tier, master)
 
     smalls, larges = [], []
     for i in range(reps):
-        smalls.append(run_at(small_n, tier))
-        larges.append(run_at(large_n, tier))
+        smalls.append(run_with_retry(small_n, small_master))
+        larges.append(run_with_retry(large_n, large_master))
         print(json.dumps({"rep": i, "small_wall": smalls[-1]["wall_s"],
                           "large_wall": larges[-1]["wall_s"]}))
 
@@ -93,6 +130,8 @@ def main() -> None:
     result = {
         "small_cores": small_n,
         "large_cores": large_n,
+        "small_master": small_master or f"local[{small_n}]",
+        "large_master": large_master or f"local[{large_n}]",
         "throughput_small": t_small,
         "throughput_large": t_large,
         "scaling_efficiency": eff,
@@ -137,27 +176,37 @@ persisted-Bloom-shard seen dedup with O(|delta|) fold, parquet+manifest
 snapshot commit. One-time corpus enrichment + bootstrap run untimed
 (amortized at scale).
 
-## What changed since round 1 (0.437 → {eff})
+## What changed round 1 → 2 → 3 (0.437 → 0.654 → {eff})
 
-1. **GC per width** (engine default now): ParallelGC below 8 task
-   threads, ZGC at ≥8 — stop-the-world collections pause every task
-   thread in one JVM at once, a coupling that grows with width; on a
-   real cluster each executor JVM is narrow and tunes independently.
-   Measured at local[16]: 65 s (ParallelGC) → 46 s (ZGC) at 12 g.
-2. **12 g heap** (was 8 g): the bulk round's columnar caches (fetched
-   set + fused-process output) no longer evict / stall allocation.
-   20 g+ was slower again for the throughput collectors.
-3. **AQE off for this statically-sized job**: each AQE exchange
-   materialization is a full barrier with constant re-plan latency —
-   4x the relative cost at 4x parallelism. Measured at local[16]:
-   46 s → 40 s.
-4. **Candidate materialization**: the scheduled candidate set is
-   written once per round and broadcast builds re-scan parquet instead
-   of re-walking the window lineage per consuming action.
-5. **Per-round constant work removed**: Bloom shards fold only the
-   round's delta (was: full rebuild per round), seen reads scan
-   base+tail after compaction, frontier-empty check reads the manifest
-   instead of running a Spark job.
+Round 2: per-width GC + 12 g heap, AQE off for this statically-sized
+job, candidate-set materialization, O(|delta|) Bloom fold + seen
+compaction + manifest-based empty check (constant per-round work gone).
+
+Round 3 removed the remaining serial stages and the heap coupling:
+
+1. **Streaming fetch path** — fetched page html is never materialized
+   (no JVM cache, no scratch parquet): statuses come from a slim
+   url_hash-only key join; the ONE full html join is fused into the
+   Arrow extraction pass, so page bytes flow scan→extract and never
+   land in the heap. Profiled local[16] bulk round: 53.6 → 47.1 s,
+   GC time halved.
+2. **ParallelGC at every width** — with the heap allocation-light
+   again, ZGC's concurrent cycles cost more task CPU than they save
+   in pauses (local[16]: ZGC 47.1 s wall / 88.9 s GC vs ParallelGC
+   40.6 s / 31.5 s). Also undoes ZGC's +25-40% tax on the sub-second
+   contract queries (VERDICT r2 #6).
+3. **Distributed per-host rank** — the rank window sorted each host in
+   ONE task (a hot host = a serial sort). Range-partition on (host,
+   order key) + per-slice local rank + offset fold; exact,
+   equality-tested against the window form.
+4. **Exchange-free bucketed fetch join** — bulk candidates ≈ corpus,
+   and a corpus-sized broadcast hash relation is a serial driver-side
+   build cloned into every executor. Candidates and pages are
+   co-bucketed by url_hash (one file per bucket): ShuffledHashJoin
+   with ZERO Exchange/Sort on either side, plan-asserted.
+5. **Production-size rounds** — the benchxxl tier (2.5M pages) doubles
+   round length so the constant per-round driver orchestration cost is
+   amortized the way 100 TB rounds amortize it.
 
 ## Why the residual gap is the box, not the engine
 
