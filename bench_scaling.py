@@ -97,19 +97,37 @@ def main() -> None:
         masters.split(":", 1) if masters else (None, None)
     )
 
+    def _cpu_ticks() -> tuple[int, int]:
+        # (steal_ticks, total_ticks) from the aggregate /proc/stat line —
+        # this sandbox is a VM on a shared host and epochs of 5-15%
+        # steal poison individual reps; recording steal per leg makes the
+        # contamination visible instead of folded silently into walls.
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(v) for v in parts]
+        steal = vals[7] if len(vals) > 7 else 0
+        return steal, sum(vals)
+
     def run_with_retry(cores: int, master: str | None) -> dict:
+        s0, t0 = _cpu_ticks()
         try:
-            return run_at(cores, tier, master)
+            out = run_at(cores, tier, master)
         except Exception as e:  # one retry per leg: rare worker-death flake
             print(json.dumps({"retry": cores, "error": str(e)[:200]}))
-            return run_at(cores, tier, master)
+            s0, t0 = _cpu_ticks()
+            out = run_at(cores, tier, master)
+        s1, t1 = _cpu_ticks()
+        out["steal_pct"] = round(100.0 * (s1 - s0) / max(1, t1 - t0), 2)
+        return out
 
     smalls, larges = [], []
     for i in range(reps):
         smalls.append(run_with_retry(small_n, small_master))
         larges.append(run_with_retry(large_n, large_master))
         print(json.dumps({"rep": i, "small_wall": smalls[-1]["wall_s"],
-                          "large_wall": larges[-1]["wall_s"]}))
+                          "large_wall": larges[-1]["wall_s"],
+                          "small_steal_pct": smalls[-1]["steal_pct"],
+                          "large_steal_pct": larges[-1]["steal_pct"]}))
 
     def median_run(runs: list[dict]) -> dict:
         walls = [r["wall_s"] for r in runs]
@@ -122,7 +140,8 @@ def main() -> None:
     t_large = large["throughput_urls_per_s"]
     eff = round(t_large / (4 * t_small), 3)
 
-    os.makedirs("BENCH", exist_ok=True)
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
     # SPARK_GRAFT_SCALING_TAG: write a tagged side-measurement (e.g. the
     # 2->8 pair that keeps both points inside this box's linear region)
     # without clobbering the primary BENCH/scaling.json + BASELINE.md
@@ -139,11 +158,14 @@ def main() -> None:
         "reps": reps,
         "small_walls": [r["wall_s"] for r in smalls],
         "large_walls": [r["wall_s"] for r in larges],
+        "small_steal_pct": [r["steal_pct"] for r in smalls],
+        "large_steal_pct": [r["steal_pct"] for r in larges],
         "small": small,
         "large": large,
         "measured_at": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
-    out_json = f"BENCH/scaling_{tag}.json" if tag else "BENCH/scaling.json"
+    out_json = os.path.join(
+        bench_dir, f"scaling_{tag}.json" if tag else "scaling.json")
     with open(out_json, "w") as f:
         json.dump(result, f, indent=1)
     if tag:
@@ -228,7 +250,7 @@ every stage partition-parallel with no driver round-trips. On a real
 cluster, per-executor heaps/GCs/Python pools remove the coupling terms
 measured above.
 """
-    with open("BENCH/BASELINE.md", "w") as f:
+    with open(os.path.join(bench_dir, "BASELINE.md"), "w") as f:
         f.write(md)
     print(json.dumps({"scaling_efficiency": eff,
                       "throughput_small": t_small,
