@@ -3,9 +3,10 @@
 No real multi-node cluster exists in this sandbox; per the driver's
 instruction the criterion is evidenced by running the SAME crawl job on
 the SAME input at two parallelism levels — local[N] and local[4N] — and
-reporting throughput at both plus
+reporting throughput at both plus the scaling efficiency
 
-    scaling_efficiency = (throughput_4N / throughput_N) / 4
+    per-rep:  eff_i = small_wall_i / large_wall_i / 4   (paired, interleaved)
+    reported: median(eff_i)
 
 Results land in BENCH/scaling.json + BENCH/BASELINE.md.
 Run: ``python bench_scaling.py``.
@@ -129,6 +130,22 @@ def main() -> None:
                           "small_steal_pct": smalls[-1]["steal_pct"],
                           "large_steal_pct": larges[-1]["steal_pct"]}))
 
+    # Efficiency estimator: MEDIAN OF PER-REP PAIRED RATIOS, not the
+    # ratio of per-width median walls. The reps are interleaved so that
+    # each rep's small and large legs sample the SAME machine epoch —
+    # the paired ratio small_wall/large_wall/4 cancels shared epoch
+    # contamination (host steal hits both legs of a rep similarly),
+    # while the ratio-of-medians can pair a small wall from a clean
+    # epoch with a large wall from a stolen one (observed: per-rep
+    # ratios [0.84, 0.50, 0.57, 0.84, 0.80] → ratio-of-medians 0.626,
+    # because its median legs came from two different contaminated
+    # reps). The per-rep ratios and steal fractions are all in the JSON.
+    ratios = [
+        round(s["wall_s"] / l["wall_s"] / 4, 3)
+        for s, l in zip(smalls, larges)
+    ]
+    eff = round(statistics.median(ratios), 3)
+
     def median_run(runs: list[dict]) -> dict:
         walls = [r["wall_s"] for r in runs]
         med = statistics.median_low(walls)
@@ -138,7 +155,6 @@ def main() -> None:
     large = median_run(larges)
     t_small = small["throughput_urls_per_s"]
     t_large = large["throughput_urls_per_s"]
-    eff = round(t_large / (4 * t_small), 3)
 
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
     os.makedirs(bench_dir, exist_ok=True)
@@ -154,6 +170,8 @@ def main() -> None:
         "throughput_small": t_small,
         "throughput_large": t_large,
         "scaling_efficiency": eff,
+        "per_rep_efficiency": ratios,
+        "ratio_of_medians": round(t_large / (4 * t_small), 3),
         "tier": tier,
         "reps": reps,
         "small_walls": [r["wall_s"] for r in smalls],
@@ -186,7 +204,16 @@ median reported.
 | small (N) | local[{small_n}] | {t_small} | {small['wall_s']} | {result['small_walls']} |
 | large (4N) | local[{large_n}] | {t_large} | {large['wall_s']} | {result['large_walls']} |
 
-**scaling_efficiency = ({t_large} / {t_small}) / 4 = {eff}**
+Per-rep paired efficiencies (small_wall / large_wall / 4, each pair
+interleaved inside one machine epoch): {ratios}
+Per-leg host-steal %% (small / large):
+{result['small_steal_pct']} / {result['large_steal_pct']}
+
+**scaling_efficiency = median of paired per-rep ratios = {eff}**
+(throughput ratio of the per-width median runs:
+({t_large} / {t_small}) / 4 = {result['ratio_of_medians']} — this
+unpaired form can mix legs from different contamination epochs and is
+reported for reference only)
 
 Workload: bulk download-list crawl of the '{tier}' corpus (50 hosts, 2
 hot hosts ≈40% of pages; frontier pre-seeded with every corpus url, A7
