@@ -486,9 +486,37 @@ def q26_fetch_counters(spark, sf_dir):
     )
 
 
+def q47_distributed_rank(spark, sf_dir):
+    """B7/J4 — distributed per-host rank ≡ plain SQL window.
+
+    Exercises :func:`rank_in_host_distributed` directly (the scale path
+    schedule_round switches to once the frontier exceeds
+    ``cfg.materialize_candidates_rows``): range-partition on (host,
+    total order) + per-slice local rank + offset fold — exact per-host
+    ranks with every sort bounded by |frontier|/P, no one-task-per-host
+    window anywhere in the plan.
+    """
+    from newscrawler_spark.operators.frontier import rank_in_host_distributed
+
+    tier = tier_for(sf_dir)
+    ensure_cache(spark, tier)
+    frontier = spark.read.parquet(_p(tier, "frontier0"))
+    return rank_in_host_distributed(frontier).select(
+        "host", "url_hash", "rank_in_host"
+    )
+
+
 CRAWL_ORACLES = {
     "q20_canon_enrich": f"""
         SELECT url, url_canon, url_hash, host, lang FROM {_rp('pages_enriched')}
+    """,
+    "q47_distributed_rank": f"""
+        SELECT host, url_hash, row_number() OVER (
+            PARTITION BY host
+            ORDER BY priority DESC, depth ASC, discovered_round ASC,
+                     url_hash ASC
+        ) AS rank_in_host
+        FROM {_rp('frontier0')}
     """,
     "q21_frontier_rank": f"""
         WITH fr AS (
@@ -1252,6 +1280,7 @@ def all_queries():
         "q44_lsh_near_dup_pairs": q44_lsh_near_dup_pairs,
         "q45_stream_seen_dedup": q45_stream_seen_dedup,
         "q46_media_headers": q46_media_headers,
+        "q47_distributed_rank": q47_distributed_rank,
     }
 
 
