@@ -152,7 +152,11 @@ def parse_mp4(blob: bytes) -> tuple[int | None, int | None, int | None,
 # without sharing any parsing code with the engine.
 # --------------------------------------------------------------------------
 
-def make_png(width: int, height: int) -> bytes:
+def make_png(width: int, height: int, fill_seed: int | None = None) -> bytes:
+    """8-bit grayscale PNG, filter 0. ``fill_seed=s`` fills pixel (x, y)
+    with ``(x + 2*y + s) % 251`` (top-down row order) — the closed-form
+    rule the q48 oracle recomputes; None keeps the all-zero image (q46
+    blobs unchanged)."""
     import zlib
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
@@ -160,23 +164,66 @@ def make_png(width: int, height: int) -> bytes:
                 + struct.pack(">I", zlib.crc32(ctype + data)))
 
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # 8-bit gray
-    raw = b"".join(b"\x00" + bytes(width) for _ in range(height))
+    if fill_seed is None:
+        rows = (bytes(width) for _ in range(height))
+    else:
+        rows = (
+            bytes((x + 2 * y + fill_seed) % 251 for x in range(width))
+            for y in range(height)
+        )
+    raw = b"".join(b"\x00" + r for r in rows)
     return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
 
 
-def make_gif(width: int, height: int) -> bytes:
-    return (b"GIF89a" + struct.pack("<HH", width, height)
-            + b"\x00\x00\x00" + b"\x3b")
+# 4-entry GIF palette: entry i, channel c → 60*i + 10*c (closed form the
+# q48 oracle recomputes; all values < 256)
+GIF_PALETTE = bytes(60 * i + 10 * c for i in range(4) for c in range(3))
 
 
-def make_bmp(width: int, height: int) -> bytes:
+def make_gif(width: int, height: int, fill_seed: int | None = None) -> bytes:
+    """GIF89a. ``fill_seed=s`` emits a REAL LZW-coded image whose pixel
+    index at (x, y) is ``(x + y + s) % 4`` over the 4-color global
+    palette above; None keeps the headers-only blob (q46 unchanged)."""
+    head = b"GIF89a" + struct.pack("<HH", width, height)
+    if fill_seed is None:
+        return head + b"\x00\x00\x00" + b"\x3b"
+    from newscrawler_spark.functions.media_pixels import gif_lzw_encode
+
+    # packed: GCT flag=1, color-res=1, sort=0, GCT size=1 (2^(1+1)=4)
+    screen = bytes([0x91, 0x00, 0x00]) + GIF_PALETTE
+    idx = bytes(
+        (x + y + fill_seed) % 4 for y in range(height) for x in range(width)
+    )
+    lzw = gif_lzw_encode(idx, min_code_size=2)
+    sub_blocks = b"".join(
+        bytes([len(lzw[i:i + 255])]) + lzw[i:i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    img = (b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+           + b"\x02" + sub_blocks + b"\x00")
+    return head + screen + img + b"\x3b"
+
+
+def make_bmp(width: int, height: int, fill_seed: int | None = None) -> bytes:
+    """24-bit BMP. ``fill_seed=s`` fills the pixel byte at (x, file-row
+    y, channel c) with ``(3*x + c + 7*y + s) % 251`` (padding bytes stay
+    zero and are excluded from stats); None keeps all-zero pixels."""
     row = (width * 3 + 3) & ~3
     size = 54 + row * height
+    if fill_seed is None:
+        pixels = bytes(row * height)
+    else:
+        pad = row - width * 3
+        pixels = b"".join(
+            bytes((3 * x + c + 7 * y + fill_seed) % 251
+                  for x in range(width) for c in range(3)) + bytes(pad)
+            for y in range(height)
+        )
     return (b"BM" + struct.pack("<IHHI", size, 0, 0, 54)
             + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
                           row * height, 2835, 2835, 0, 0)
-            + bytes(row * height))
+            + pixels)
 
 
 def make_jpeg_header(width: int, height: int) -> bytes:
@@ -189,14 +236,27 @@ def make_jpeg_header(width: int, height: int) -> bytes:
     return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
 
 
-def make_wav(duration_s: float, rate: int = 8000, channels: int = 1) -> bytes:
+def make_wav(duration_s: float, rate: int = 8000, channels: int = 1,
+             fill_seed: int | None = None) -> bytes:
+    """16-bit PCM WAV. ``fill_seed=s`` fills sample t (int16 LE, mono
+    frame order) with ``((t*(3 + s%5) + s) % 401) - 200`` — spans
+    negative/zero/positive so RMS and zero-crossings are non-trivial;
+    None keeps silence (q46 blobs unchanged)."""
     byte_rate = rate * channels * 2
     n = int(round(duration_s * byte_rate))
     n += n & 1
+    if fill_seed is None:
+        data = bytes(n)
+    else:
+        k = 3 + fill_seed % 5
+        data = b"".join(
+            struct.pack("<h", ((t * k + fill_seed) % 401) - 200)
+            for t in range(n // 2)
+        )
     return (b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
             + b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate,
                                     byte_rate, channels * 2, 16)
-            + b"data" + struct.pack("<I", n) + bytes(n))
+            + b"data" + struct.pack("<I", n) + data)
 
 
 def make_mp4(width: int, height: int, n_frames: int, fps: int = 25) -> bytes:

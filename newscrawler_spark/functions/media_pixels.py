@@ -1,0 +1,310 @@
+"""Real pixel/sample decode kernels — pure Python + stdlib, no codec libs.
+
+De-stubs the FEATURE half of the multimodal pipeline (VERDICT r3 #3) for
+the formats whose payloads are decodable without PIL/ffmpeg:
+
+- PNG  8-bit grayscale: stdlib ``zlib`` inflate + PNG row de-filtering
+  (all five filter types).
+- BMP  24-bit: raw pixel rows, 4-byte padding stripped.
+- GIF  87a/89a: a from-scratch GIF-flavor LZW decoder (LSB-first bit
+  packing, CLEAR/EOI codes, width growth to 12 bits, KwKwK case) plus
+  the matching encoder used by the test/oracle generators.
+- WAV  16-bit PCM: ``numpy.frombuffer`` over the data chunk.
+
+JPEG entropy decode and MP4 codec payloads genuinely need codec libs and
+stay out of scope: callers get ``None`` values (never a raise) and the
+feature column is null for those rows.
+
+Everything here runs inside Arrow batches on executors; blobs never
+escape the batch. Kernels are per-document Python like the HTML
+extractor — the Spark contract (mapInPandas, schema, batch shape) is
+what scales, and malformed blobs must yield None, not kill the task.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# GIF-flavor LZW (LSB-first bit order, variable 3..12-bit codes)
+# --------------------------------------------------------------------------
+
+
+def gif_lzw_encode(data: bytes, min_code_size: int) -> bytes:
+    """Encode an index stream as GIF LZW (the image-data bytes that go
+    inside the sub-blocks, excluding the leading min-code-size byte)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    buf = bytearray()
+    cur = 0
+    nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal cur, nbits
+        cur |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            buf.append(cur & 0xFF)
+            cur >>= 8
+            nbits -= 8
+
+    def fresh_table() -> dict[bytes, int]:
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh_table()
+    code_size = min_code_size + 1
+    next_code = eoi + 1
+    emit(clear, code_size)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], code_size)
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+            # a future emission may now need next_code-1 = 2^cs bits
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear, code_size)
+            table = fresh_table()
+            code_size = min_code_size + 1
+            next_code = eoi + 1
+        w = bytes([b])
+    if w:
+        emit(table[w], code_size)
+    emit(eoi, code_size)
+    if nbits:
+        buf.append(cur & 0xFF)
+    return bytes(buf)
+
+
+def gif_lzw_decode(data: bytes, min_code_size: int) -> bytes | None:
+    """Decode GIF LZW image data back to the index stream; None on a
+    malformed stream (bad code reference / truncation)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    pos = 0  # bit position
+    total = len(data) * 8
+
+    def read(size: int) -> int | None:
+        nonlocal pos
+        if pos + size > total:
+            return None
+        v = 0
+        for k in range(size):
+            byte = data[(pos + k) >> 3]
+            if (byte >> ((pos + k) & 7)) & 1:
+                v |= 1 << k
+        pos += size
+        return v
+
+    out = bytearray()
+    table: list[bytes] = []
+    code_size = min_code_size + 1
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, code_size, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        code_size = min_code_size + 1
+        prev = None
+
+    reset()
+    while True:
+        code = read(code_size)
+        if code is None:
+            return None
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < len(table) and code not in (clear, eoi):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]          # KwKwK
+        else:
+            return None
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+
+
+# --------------------------------------------------------------------------
+# Per-format value decoders → flat numpy arrays (or None)
+# --------------------------------------------------------------------------
+
+
+def decode_png_gray(blob: bytes) -> np.ndarray | None:
+    """8-bit grayscale PNG → pixel values, row-major top-down. Handles
+    all five row filters; None for non-gray/non-8-bit or corrupt data."""
+    try:
+        if blob[:8] != b"\x89PNG\r\n\x1a\n" or blob[12:16] != b"IHDR":
+            return None
+        w, h = struct.unpack(">II", blob[16:24])
+        bit_depth, color_type = blob[24], blob[25]
+        if bit_depth != 8 or color_type != 0:
+            return None
+        idat = bytearray()
+        i = 8
+        while i + 8 <= len(blob):
+            (clen,) = struct.unpack(">I", blob[i:i + 4])
+            ctype = blob[i + 4:i + 8]
+            if ctype == b"IDAT":
+                idat += blob[i + 8:i + 8 + clen]
+            if ctype == b"IEND":
+                break
+            i += 12 + clen
+        raw = zlib.decompress(bytes(idat))
+        if len(raw) != h * (w + 1):
+            return None
+        out = np.empty((h, w), dtype=np.uint8)
+        prev = np.zeros(w, dtype=np.uint8)
+        for y in range(h):
+            f = raw[y * (w + 1)]
+            row = np.frombuffer(
+                raw, dtype=np.uint8, count=w, offset=y * (w + 1) + 1
+            ).copy()
+            if f == 0:
+                pass
+            elif f == 2:                      # Up
+                row += prev
+            elif f in (1, 3, 4):              # Sub / Average / Paeth: serial
+                rec = row.astype(np.int32)
+                pr = prev.astype(np.int32)
+                for x in range(w):
+                    a = rec[x - 1] if x else 0
+                    b = pr[x]
+                    if f == 1:
+                        rec[x] = (rec[x] + a) & 0xFF
+                    elif f == 3:
+                        rec[x] = (rec[x] + (a + b) // 2) & 0xFF
+                    else:
+                        c = pr[x - 1] if x else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if (pa <= pb and pa <= pc) else (
+                            b if pb <= pc else c)
+                        rec[x] = (rec[x] + pred) & 0xFF
+                row = rec.astype(np.uint8)
+            else:
+                return None
+            out[y] = row
+            prev = row
+        return out.reshape(-1)
+    except (struct.error, IndexError, zlib.error, ValueError):
+        return None
+
+
+def decode_bmp_pixels(blob: bytes) -> np.ndarray | None:
+    """24-bit BMP → pixel channel bytes in file order (bottom-up rows,
+    BGR), 4-byte row padding stripped."""
+    try:
+        if blob[:2] != b"BM":
+            return None
+        (data_off,) = struct.unpack("<I", blob[10:14])
+        w, h = struct.unpack("<ii", blob[18:26])
+        (bpp,) = struct.unpack("<H", blob[28:30])
+        if bpp != 24 or w <= 0:
+            return None
+        nrows = abs(h)
+        stride = (w * 3 + 3) & ~3
+        if data_off + stride * nrows > len(blob):
+            return None
+        rows = np.frombuffer(
+            blob, dtype=np.uint8, count=stride * nrows, offset=data_off
+        ).reshape(nrows, stride)
+        return rows[:, : w * 3].reshape(-1)
+    except (struct.error, IndexError, ValueError):
+        return None
+
+
+def decode_gif_pixels(blob: bytes) -> np.ndarray | None:
+    """GIF (first image block, global palette, non-interlaced) → flat
+    RGB channel bytes per pixel, row-major top-down."""
+    try:
+        if blob[:6] not in (b"GIF87a", b"GIF89a"):
+            return None
+        w, h = struct.unpack("<HH", blob[6:10])
+        packed = blob[10]
+        i = 13
+        palette = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            palette = np.frombuffer(
+                blob, dtype=np.uint8, count=3 * n, offset=i).reshape(n, 3)
+            i += 3 * n
+        while i < len(blob):
+            b = blob[i]
+            if b == 0x21:                     # extension: skip sub-blocks
+                i += 2
+                while i < len(blob) and blob[i] != 0:
+                    i += 1 + blob[i]
+                i += 1
+            elif b == 0x2C:                   # image descriptor
+                iw, ih = struct.unpack("<HH", blob[i + 5:i + 9])
+                ipacked = blob[i + 9]
+                i += 10
+                if ipacked & 0x80:            # local palette wins
+                    n = 2 << (ipacked & 0x07)
+                    palette = np.frombuffer(
+                        blob, dtype=np.uint8, count=3 * n, offset=i
+                    ).reshape(n, 3)
+                    i += 3 * n
+                if ipacked & 0x40 or palette is None:   # interlaced: out
+                    return None
+                mcs = blob[i]
+                i += 1
+                lzw = bytearray()
+                while i < len(blob) and blob[i] != 0:
+                    ln = blob[i]
+                    lzw += blob[i + 1:i + 1 + ln]
+                    i += 1 + ln
+                idx = gif_lzw_decode(bytes(lzw), mcs)
+                if idx is None or len(idx) < iw * ih:
+                    return None
+                arr = np.frombuffer(idx, dtype=np.uint8, count=iw * ih)
+                if arr.max(initial=0) >= len(palette):
+                    return None
+                return palette[arr].reshape(-1)
+            elif b == 0x3B:
+                return None                   # trailer before any image
+            else:
+                return None
+        return None
+    except (struct.error, IndexError, ValueError):
+        return None
+
+
+def decode_wav_samples(blob: bytes) -> np.ndarray | None:
+    """16-bit PCM WAV → int16 samples (frame order, channels interleaved)."""
+    try:
+        if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+            return None
+        i = 12
+        bits = None
+        while i + 8 <= len(blob):
+            cid = blob[i:i + 4]
+            (csize,) = struct.unpack("<I", blob[i + 4:i + 8])
+            if cid == b"fmt ":
+                (bits,) = struct.unpack("<H", blob[i + 22:i + 24])
+            elif cid == b"data":
+                if bits != 16:
+                    return None
+                count = min(csize, len(blob) - i - 8) // 2
+                return np.frombuffer(
+                    blob, dtype="<i2", count=count, offset=i + 8)
+            i += 8 + csize + (csize & 1)
+        return None
+    except (struct.error, IndexError, ValueError):
+        return None

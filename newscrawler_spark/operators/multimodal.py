@@ -1,13 +1,23 @@
 """Multimodal column plumbing: opaque binary media + typed metadata.
 
-Training-pipeline addition (driver brief). The *Spark-side* machinery is
-real and tested — schema, partition-friendly layout, Arrow-batched UDF
-signatures, deterministic batch shapes — while the codec kernels are
-STUBBED (no image/audio libraries in this container): ``decode_media``
-raises ``NotImplementedError`` unless ``fake=True``, in which case a
-deterministic fake decoder derives plausible metadata/features from the
-bytes alone. Swapping in a real kernel (PIL/ffmpeg/torchaudio) changes
-ONLY the marked inner functions; every DataFrame contract stays as-is.
+Training-pipeline addition (driver brief). The Spark-side machinery —
+schema, partition-friendly layout, Arrow-batched UDF signatures,
+deterministic batch shapes — is real and tested, and so are the
+kernels this container can express without codec libraries:
+
+- ``decode_media`` (default): pure-Python HEADER parsing for
+  PNG/GIF/JPEG/BMP/WAV/MP4 (functions/media_headers.py, driver q46);
+- ``media_stats`` / ``extract_features`` (default): pure-Python
+  PIXEL/SAMPLE decode for PNG gray (zlib + de-filter), BMP 24-bit,
+  GIF (from-scratch LZW) and WAV PCM (functions/media_pixels.py,
+  driver q48) → exact value statistics / 8-dim stats features.
+
+Payloads that genuinely need codec libs (JPEG entropy data, MP4 video
+samples) yield null stats/features — never a raise. MODEL-based
+embeddings (the only remaining out-of-container tier) are served by the
+``fake=True`` deterministic stub kernel, whose outputs the q40 oracle
+recomputes; swapping in PIL/ffmpeg/torch changes only the marked inner
+functions, every DataFrame contract stays as-is.
 
 Design for 100 TB: media bytes never leave the executor JVM except into
 the Arrow batch that decodes them; batches are capped by rows (the
@@ -73,8 +83,8 @@ def _real_decode(kind: str, blob: bytes) -> tuple:
     (functions/media_headers.py): PNG/GIF/JPEG/BMP dimensions, WAV
     duration from the RIFF data chunk, MP4 mvhd/tkhd/stts. Malformed
     blobs yield None fields, never an executor-killing raise. Pixel /
-    sample decode (resize, model features) still needs PIL/ffmpeg and
-    stays stubbed in :func:`extract_features`."""
+    sample VALUE decode lives in :func:`media_stats` /
+    :func:`extract_features` (functions/media_pixels.py)."""
     from newscrawler_spark.functions import media_headers as mh
 
     if kind == "image":
@@ -115,21 +125,123 @@ def decode_media(media: DataFrame, fake: bool = False) -> DataFrame:
     )
 
 
-def extract_features(media: DataFrame, fake: bool = False,
-                     dim: int = FEATURE_DIM) -> DataFrame:
-    """Media → fixed-width feature vectors (Arrow-batched; blobs pruned
-    from every downstream stage)."""
+STATS_SCHEMA = (
+    "media_id long, kind string, codec string, n_vals long, "
+    "v_mean double, v_rms double, v_min long, v_max long, zero_cross long"
+)
+
+
+def _real_values(kind: str, blob: bytes):
+    """(codec, flat int value array | None) for the REAL decode tier.
+
+    Decodable without codec libs: PNG gray pixels, BMP channel bytes,
+    GIF palette-mapped RGB bytes (from-scratch LZW), WAV int16 samples.
+    JPEG entropy data and MP4 codec payloads are not — those rows keep
+    their codec label and get None values (null stats/features), never
+    a raise.
+    """
+    from newscrawler_spark.functions import media_headers as mh
+    from newscrawler_spark.functions import media_pixels as mp
+
+    if kind == "image":
+        _w, _h, codec = mh.parse_image(blob)
+        if codec == "png":
+            return codec, mp.decode_png_gray(blob)
+        if codec == "bmp":
+            return codec, mp.decode_bmp_pixels(blob)
+        if codec == "gif":
+            return codec, mp.decode_gif_pixels(blob)
+        return codec, None
+    if kind == "audio":
+        _d, _c, _r, codec = mh.parse_wav(blob)
+        return codec, mp.decode_wav_samples(blob)
+    if kind == "video":
+        return "mp4" if blob[4:8] == b"ftyp" else None, None
+    return None, None
+
+
+def _value_stats(vals: np.ndarray | None):
+    """(n, mean, rms, vmin, vmax, zero_cross) with EXACT int64 sums so
+    the single double division / sqrt is bit-identical to an SQL oracle
+    computing the same formula (same IEEE ops in the same order)."""
+    if vals is None or vals.size == 0:
+        return 0, None, None, None, None, None
+    a = vals.astype(np.int64)
+    n = int(a.size)
+    ssum = int(a.sum())
+    ssq = int((a * a).sum())
+    mean = ssum / n
+    rms = float(np.sqrt(ssq / n))
+    zc = int(((a[1:] * a[:-1]) < 0).sum())
+    return n, mean, rms, int(a.min()), int(a.max()), zc
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """REAL pixel/sample statistics per media row (Arrow-batched): value
+    count, mean, RMS, min/max, strict zero-crossings (products < 0 —
+    audio; always 0 for unsigned pixel data). Rows whose payload needs a
+    codec lib (JPEG, MP4) yield n_vals=0 + null stats."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "real feature extraction requires a vision/audio model; "
-                    "pass fake=True for the deterministic stub kernel"
-                )
-            feats = [
-                _fake_features(bytes(b), dim).tolist() for b in pdf["bytes"]
-            ]
+            rows = []
+            for mid, kind, blob in zip(pdf["media_id"], pdf["kind"],
+                                       pdf["bytes"]):
+                codec, vals = _real_values(kind, bytes(blob))
+                rows.append((mid, kind, codec, *_value_stats(vals)))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "codec", "n_vals", "v_mean",
+                         "v_rms", "v_min", "v_max", "zero_cross"],
+            )
+
+    return media.select("media_id", "kind", "bytes").mapInPandas(
+        batches, schema=STATS_SCHEMA
+    )
+
+
+def extract_features(media: DataFrame, fake: bool = False,
+                     dim: int = FEATURE_DIM) -> DataFrame:
+    """Media → fixed-width feature vectors (Arrow-batched; blobs pruned
+    from every downstream stage).
+
+    ``fake=True``: the deterministic md5 stub kernel (q40's oracle
+    recomputes it — the Arrow-plumbing contract check). ``fake=False``
+    (default): REAL 8-dim statistics features over decoded pixel /
+    sample values — [n, mean, rms, min, max, zero_cross, width-or-rate,
+    height-or-channels] as float32 — for PNG/BMP/GIF/WAV; null feature
+    for payloads that genuinely need a codec lib (JPEG entropy data,
+    MP4). No raise on the real path (VERDICT r3 #3)."""
+
+    def real_feature(kind: str, blob: bytes):
+        from newscrawler_spark.functions import media_headers as mh
+
+        codec, vals = _real_values(kind, blob)
+        if vals is None or vals.size == 0:
+            return None
+        n, mean, rms, vmin, vmax, zc = _value_stats(vals)
+        if kind == "image":
+            w, h, _ = mh.parse_image(blob)
+            extra = (float(w or 0), float(h or 0))
+        else:
+            _d, ch, rate, _ = mh.parse_wav(blob)
+            extra = (float(rate or 0), float(ch or 0))
+        return np.array(
+            [n, mean, rms, vmin, vmax, zc, *extra], dtype=np.float32
+        ).tolist()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if fake:
+                feats = [
+                    _fake_features(bytes(b), dim).tolist()
+                    for b in pdf["bytes"]
+                ]
+            else:
+                feats = [
+                    real_feature(kind, bytes(b))
+                    for kind, b in zip(pdf["kind"], pdf["bytes"])
+                ]
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "kind": pdf["kind"], "feature": feats}
             )
@@ -187,6 +299,44 @@ def gen_real_media(spark, n: int = 60) -> DataFrame:
             kind = "video"
         rows.append((i, kind, blob, f"http://m.example/{kind}/{i}",
                      kind + "/real", len(blob)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def gen_filled_media(spark, n: int = 60) -> DataFrame:
+    """gen_real_media's id rules + CLOSED-FORM PAYLOAD FILLS (fill_seed
+    = i), so the q48 oracle can recompute every pixel/sample value —
+    and therefore every statistic — from the id alone:
+
+    - png  (i%3==0, (i//3)%4==0): pixel(x,y) = (x + 2y + i) % 251
+    - gif  (i%3==0, (i//3)%4==1): RGB byte at (x,y,c) =
+      60*((x+y+i)%4) + 10*c  (4-entry palette, LZW-coded indices)
+    - bmp  (i%3==0, (i//3)%4==2): byte at (x,file-row y,c) =
+      (3x + c + 7y + i) % 251
+    - jpeg (i%3==0, (i//3)%4==3): header-only → no values (null stats)
+    - wav  (i%3==1): sample(t) = ((t*(3 + i%5) + i) % 401) - 200,
+      n_samples = 1000*(1 + i%40)  (duration (1+i%40)/8 s at 8 kHz)
+    - mp4  (i%3==2): codec payload → no values (null stats)
+    """
+    from newscrawler_spark.functions import media_headers as mh
+
+    rows = []
+    img_makers = [mh.make_png, mh.make_gif, mh.make_bmp,
+                  lambda w, h, fill_seed: mh.make_jpeg_header(w, h)]
+    for i in range(n):
+        m = i % 3
+        if m == 0:
+            w, h = 16 + i % 97, 16 + (i * 7) % 59
+            blob = img_makers[(i // 3) % 4](w, h, fill_seed=i)
+            kind = "image"
+        elif m == 1:
+            blob = mh.make_wav((1 + i % 40) / 8, fill_seed=i)
+            kind = "audio"
+        else:
+            blob = mh.make_mp4(160 + 16 * (i % 20), 120 + 8 * (i % 30),
+                               25 + i % 200)
+            kind = "video"
+        rows.append((i, kind, blob, f"http://m.example/{kind}/{i}",
+                     kind + "/filled", len(blob)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 

@@ -1,7 +1,8 @@
-"""Multimodal plumbing: schema/UDF/batch contracts real, kernels stubbed."""
+"""Multimodal pipeline: real header + pixel/sample kernels, fake model tier."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -107,6 +108,117 @@ def test_frame_sample_plan(spark, media):
     for mid, idxs in by.items():
         assert idxs == sorted(idxs)
         assert all(i % 25 == 0 for i in idxs)
+
+
+def test_gif_lzw_roundtrip():
+    """From-scratch GIF LZW codec: encode→decode is identity across
+    symbol widths, including streams long enough to grow the code width
+    and (at 8-bit) approach the 4096-entry table reset."""
+    from newscrawler_spark.functions import media_pixels as mp
+
+    for mcs, nsym in ((2, 4), (3, 8), (8, 256)):
+        for seed in (0, 1, 5):
+            data = bytes((x * (seed + 3) + x // 7 + seed) % nsym
+                         for x in range(30_000 if mcs == 8 else 6_000))
+            enc = mp.gif_lzw_encode(data, mcs)
+            assert mp.gif_lzw_decode(enc, mcs) == data
+    # malformed streams: None (or a truncation-safe prefix), never a raise
+    assert mp.gif_lzw_decode(b"", 2) is None
+    mp.gif_lzw_decode(b"\xff\xff\xff", 2)
+    mp.gif_lzw_decode(b"\x00", 2)
+
+
+def test_pixel_decoders_match_fill_rules():
+    """Each value decoder reproduces the closed-form payload its builder
+    wrote — the same invariant the q48 oracle checks via SQL."""
+    from newscrawler_spark.functions import media_headers as mh
+    from newscrawler_spark.functions import media_pixels as mp
+
+    for s, (w, h) in ((0, (16, 16)), (7, (31, 22)), (19, (112, 74))):
+        png = mp.decode_png_gray(mh.make_png(w, h, fill_seed=s))
+        assert np.array_equal(
+            png, [(x + 2 * y + s) % 251 for y in range(h) for x in range(w)])
+        gif = mp.decode_gif_pixels(mh.make_gif(w, h, fill_seed=s))
+        assert np.array_equal(
+            gif, [60 * ((x + y + s) % 4) + 10 * c
+                  for y in range(h) for x in range(w) for c in range(3)])
+        bmp = mp.decode_bmp_pixels(mh.make_bmp(w, h, fill_seed=s))
+        assert np.array_equal(
+            bmp, [(3 * x + c + 7 * y + s) % 251
+                  for y in range(h) for x in range(w) for c in range(3)])
+    for s, dur in ((1, 0.25), (4, 2.0)):
+        sam = mp.decode_wav_samples(mh.make_wav(dur, fill_seed=s))
+        n = int(dur * 8000)
+        k = 3 + s % 5
+        assert np.array_equal(
+            sam, np.array([((t * k + s) % 401) - 200 for t in range(n)],
+                          dtype=np.int16))
+    # default (un-filled) builders are byte-compatible: still parse, all
+    # zero payloads
+    assert int(mp.decode_png_gray(mh.make_png(8, 8)).sum()) == 0
+    assert int(mp.decode_bmp_pixels(mh.make_bmp(8, 8)).sum()) == 0
+    # headers-only GIF has no image block → None, not a raise
+    assert mp.decode_gif_pixels(mh.make_gif(8, 8)) is None
+    # garbage in → None out, for every decoder
+    for blob in (b"", b"GIF89a\x01", b"BM\x00", b"\x89PNG\r\n\x1a\n123",
+                 b"RIFFxxxxWAVE"):
+        assert mp.decode_png_gray(blob) is None or blob[:8] == b"\x89PNG\r\n\x1a\n"
+        assert mp.decode_bmp_pixels(blob) is None
+        assert mp.decode_gif_pixels(blob) is None
+        assert mp.decode_wav_samples(blob) is None
+
+
+def test_media_stats_real_path(spark):
+    """media_stats over the filled table: exact stats for decodable
+    formats, n_vals=0 + nulls for JPEG/MP4 — and NO NotImplementedError
+    anywhere on the real path (VERDICT r3 #3)."""
+    from newscrawler_spark.operators.multimodal import (
+        gen_filled_media,
+        media_stats,
+    )
+
+    rows = {r.media_id: r for r in
+            media_stats(gen_filled_media(spark, n=30)).collect()}
+    assert len(rows) == 30
+    for i, r in rows.items():
+        if i % 3 == 2 or (i % 3 == 0 and (i // 3) % 4 == 3):   # mp4 / jpeg
+            assert r.n_vals == 0 and r.v_mean is None and r.v_rms is None
+            continue
+        assert r.n_vals > 0 and r.v_rms is not None
+        if i % 3 == 1:                                          # wav
+            n = 1000 * (1 + i % 40)
+            k = 3 + i % 5
+            a = np.array([((t * k + i) % 401) - 200 for t in range(n)],
+                         dtype=np.int64)
+            assert r.n_vals == n
+            assert r.v_mean == a.sum() / n
+            assert r.v_rms == float(np.sqrt((a * a).sum() / n))
+            assert r.zero_cross == int(((a[1:] * a[:-1]) < 0).sum())
+        else:
+            assert r.v_min >= 0 and r.zero_cross == 0
+
+
+def test_extract_features_real_tier(spark):
+    """Real 8-dim stats features for PNG/BMP/GIF/WAV; null feature (not
+    a raise) for JPEG/MP4 payloads."""
+    from newscrawler_spark.operators.multimodal import gen_filled_media
+
+    rows = {r.media_id: r for r in
+            extract_features(gen_filled_media(spark, n=30)).collect()}
+    assert len(rows) == 30
+    for i, r in rows.items():
+        if i % 3 == 2 or (i % 3 == 0 and (i // 3) % 4 == 3):
+            assert r.feature is None
+            continue
+        assert r.feature is not None and len(r.feature) == 8
+        n, mean, rms, vmin, vmax, zc, e1, e2 = r.feature
+        assert n > 0 and rms > 0
+        if i % 3 == 0:
+            assert (e1, e2) == (16 + i % 97, 16 + (i * 7) % 59)   # w, h
+            assert zc == 0.0 and vmin >= 0
+        else:
+            assert (e1, e2) == (8000.0, 1.0)                      # rate, ch
+            assert vmin < 0 < vmax
 
 
 def test_blob_pruned_downstream(spark, media):
