@@ -92,21 +92,33 @@ def posting_skew_probe(
 
     Shards a seeded ``skew_sample`` fraction of documents into postings
     and compares the hottest shingle's document frequency to the sampled
-    doc count; returns True when the ratio exceeds ``skew_ratio``. One
-    small aggregate over the sample — O(sample), not a corpus pass — so
-    the decision stays cheap at 100 TB.
+    doc count; returns True when the ratio exceeds ``skew_ratio``.
+
+    Cost honesty (ADVICE r3 #4): ``DataFrame.sample`` still SCANS the
+    source and filters — the shuffle/aggregate work is O(sample) but the
+    scan is a corpus pass. The sampled projection is persisted so the
+    two aggregates below (hottest-shingle df, distinct sampled docs)
+    share ONE such scan; at 100 TB the probe therefore costs one
+    column-pruned pass of (id, text) plus O(sample) everything else —
+    noise next to the join it is guarding.
     """
-    probe = (
+    sampled = (
         documents.sample(fraction=min(1.0, skew_sample), seed=42)
-        .select(F.explode(shingles_expr(text_col, n)).alias("s"),
-                F.col(id_col).alias("id"))
+        .select(F.col(id_col).alias("id"), F.col(text_col).alias(text_col))
+        .persist()
     )
-    stats = (
-        probe.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .agg(F.max("df").alias("max_df"))
-        .crossJoin(probe.agg(F.countDistinct("id").alias("n_docs")))
-    ).collect()[0]
+    try:
+        probe = sampled.select(
+            F.explode(shingles_expr(text_col, n)).alias("s"), "id"
+        )
+        stats = (
+            probe.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(F.max("df").alias("max_df"))
+            .crossJoin(sampled.agg(F.countDistinct("id").alias("n_docs")))
+        ).collect()[0]
+    finally:
+        sampled.unpersist()
     return bool(
         stats["n_docs"] and stats["max_df"] is not None
         and stats["max_df"] / stats["n_docs"] > skew_ratio
