@@ -67,6 +67,12 @@ TIERS = {
     # the millions at 10^10-URL scale) do — used for the efficiency-vs-
     # round-size curve in BENCH/BASELINE.md
     "benchxxl": Tier(hosts=50, articles_per_host=40000, hot_hosts=2),
+    # 10^7-row frontier stress (VERDICT r3 #5): ~10M articles, the two
+    # hot hosts carry 40% of the corpus (~2M rows each — true mega-hosts,
+    # 40x the salting threshold), so one bulk round exercises distributed
+    # rank + salted politeness + bucketed fetch join at 4x the benchxxl
+    # row count; per-core throughput vs benchxxl measures row-linearity
+    "stress": Tier(hosts=50, articles_per_host=200000, hot_hosts=2),
 }
 
 _WORDS_EN = (
