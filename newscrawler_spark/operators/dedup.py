@@ -171,13 +171,33 @@ def ngram_jaccard_pairs(
             skew_sample=skew_sample, skew_ratio=skew_ratio,
         )
     if not prefix_filter:
+        # Single-pass postings form: shingle the corpus ONCE and shuffle
+        # the postings ONCE (groupBy shingle), expanding each posting's
+        # id-sorted pair list inline. The textbook postings SELF-join
+        # (posts a JOIN posts b ON s) recomputes the shingling lineage on
+        # BOTH join sides and shuffles the postings relation twice —
+        # measured ~1.7x slower at sf0.1. Pair volume is identical (both
+        # are quadratic in posting length — the probe above guards that);
+        # per-shingle state is one id-list, bounded by the hottest
+        # posting, same bound as the join's per-key match set.
         posts = sh.select("id", "n_sh", F.explode("sh").alias("s"))
-        a = posts.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1"), "s")
-        b = posts.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2"), "s")
+        grouped = (
+            posts.groupBy("s")
+            .agg(F.sort_array(F.collect_list(F.struct("id", "n_sh"))).alias("ds"))
+            .where(F.size("ds") > 1)
+        )
+        pairs = grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                    "y -> named_struct("
+                    "'id1', x.id, 'n1', x.n_sh, 'id2', y.id, 'n2', y.n_sh))))"
+                )
+            ).alias("p")
+        ).select("p.*")
         return (
-            a.join(b, "s")
-            .where(F.col("id1") < F.col("id2"))
-            .groupBy("id1", "id2", "n1", "n2")
+            pairs.groupBy("id1", "id2", "n1", "n2")
             .agg(F.count(F.lit(1)).alias("shared"))
             .withColumn(
                 "jaccard",
