@@ -847,6 +847,46 @@ _Q48_ORACLE = """
 """
 
 
+def q49_curate_pipeline(spark, sf_dir):
+    """The COMPOSED curation chain (operators/curate.py): exact dedup →
+    quality gate (score ≥ 0.5) → MinHash-LSH near-dup removal
+    (smaller-id-wins among survivors) → annotated survivors. md5 hash
+    family so the DuckDB oracle reproduces the identical LSH candidate
+    set; the oracle re-derives every stage from its own SQL (the q30 /
+    q36 / q32 / q37 oracle fragments composed as subqueries), so a drift
+    in ANY stage or in the stitching semantics breaks the hash."""
+    from newscrawler_spark.operators.curate import curate_corpus
+
+    return curate_corpus(
+        _t(spark, sf_dir, "documents"), quality_min=0.5,
+        near_dup_threshold=0.5, hasher="md5",
+    )
+
+
+def _curate_oracle(quality_min: float = 0.5, threshold: float = 0.5) -> str:
+    """DuckDB twin of q49: stage CTEs are the existing oracle builders
+    nested as subqueries — zero shared code with the engine chain."""
+    return f"""
+        WITH keep AS (
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        q AS (SELECT doc_id, n_tokens, quality_score
+              FROM ({_quality_oracle()}) t),
+        lang AS (SELECT doc_id, lang_pred FROM ({_langid_oracle()}) t),
+        s2 AS (SELECT doc_id FROM keep
+               WHERE doc_id IN (SELECT doc_id FROM q
+                                WHERE quality_score >= {quality_min})),
+        p AS (SELECT id1, id2 FROM ({_minhash_oracle(threshold=threshold)}) t
+              WHERE id1 IN (SELECT doc_id FROM s2)
+                AND id2 IN (SELECT doc_id FROM s2)),
+        surv AS (SELECT doc_id FROM s2
+                 WHERE doc_id NOT IN (SELECT id2 FROM p))
+        SELECT s.doc_id, q.n_tokens, q.quality_score, lang.lang_pred
+        FROM surv s
+        JOIN q ON s.doc_id = q.doc_id
+        JOIN lang ON s.doc_id = lang.doc_id
+    """
+
+
 def q44_lsh_near_dup_pairs(spark, sf_dir):
     """The 10^9-vector embedding near-dup tier (sign-bucket LSH blocking
     + exact cosine verify) made driver-visible: md5-derived hyperplanes
@@ -1372,6 +1412,7 @@ def all_queries():
         "q46_media_headers": q46_media_headers,
         "q47_distributed_rank": q47_distributed_rank,
         "q48_media_pixel_stats": q48_media_pixel_stats,
+        "q49_curate_pipeline": q49_curate_pipeline,
     }
 
 
@@ -1392,4 +1433,5 @@ def all_oracles():
     out["q45_stream_seen_dedup"] = _Q45_ORACLE
     out["q46_media_headers"] = _Q46_ORACLE
     out["q48_media_pixel_stats"] = _Q48_ORACLE
+    out["q49_curate_pipeline"] = _curate_oracle()
     return out

@@ -1,0 +1,79 @@
+"""Composed training-data curation pipeline over a documents corpus.
+
+What a 100 TB training-data pipeline actually runs is not one dedup
+operator but a CHAIN: exact dedup → quality gate → near-dup removal →
+annotated survivors. This module composes the already-audited operators
+(dedup.exact_dedup, textstats.quality_stats/langid,
+dedup.minhash_lsh_pairs) into that chain with deterministic,
+SQL-expressible semantics so the whole composition is two-sided
+checkable (driver q49):
+
+1. exact tier: keep one doc per md5(text) group (the min doc_id —
+   dedup.exact_dedup's keeper rule);
+2. quality gate: survivors need quality_score ≥ ``quality_min``
+   (textstats.quality_stats' rounded score, same value the oracle
+   computes);
+3. near-dup tier: MinHash+LSH pairs among the remaining docs
+   (banded buckets + exact Jaccard verify — never all-pairs); a doc is
+   dropped iff it appears as the LARGER id of a verified pair whose
+   smaller id also survived stages 1–2. This greedy smaller-id-wins
+   rule is deterministic and pairwise (NOT transitive-closure
+   clustering: in a chain a–b–c with no a–c pair, both b and c drop).
+   Pairs among survivors ≡ all-docs pairs filtered to survivor
+   endpoints, which is what the oracle computes.
+
+Scale shape: stage 1 is one hash-shuffle groupBy; stage 2 is a pure
+Catalyst projection; stage 3 is the q32 LSH shape, O(docs·bands)
+shuffle, run on the REDUCED survivor set; the joins stitching stages
+are semi/anti joins on doc_id. No stage is quadratic, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from newscrawler_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+from newscrawler_spark.operators.textstats import langid, quality_stats
+
+
+def curate_corpus(
+    documents: DataFrame,
+    quality_min: float = 0.5,
+    near_dup_threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """documents(doc_id, text, ...) → surviving
+    (doc_id, n_tokens, quality_score, lang_pred).
+
+    ``hasher`` parameterizes the MinHash family exactly as in
+    minhash_lsh_pairs: 'xxhash64' (default, cheapest per-row) or 'md5'
+    (ANSI-SQL-reproducible — the driver-oracle tier)."""
+    keep = exact_dedup(documents, id_col=id_col, text_col=text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    q = quality_stats(documents, id_col=id_col, text_col=text_col).select(
+        id_col, "n_tokens", "quality_score"
+    )
+    good = q.where(F.col("quality_score") >= quality_min).select(id_col)
+    s2 = (
+        documents.join(keep, id_col, "left_semi")
+        .join(good, id_col, "left_semi")
+    )
+    pairs = minhash_lsh_pairs(
+        s2, threshold=near_dup_threshold, id_col=id_col, text_col=text_col,
+        hasher=hasher,
+    )
+    dropped = pairs.select(F.col("id2").alias(id_col)).distinct()
+    survivors = s2.join(dropped, id_col, "left_anti")
+    lang = langid(documents, id_col=id_col, text_col=text_col).select(
+        id_col, "lang_pred"
+    )
+    return (
+        survivors.select(id_col)
+        .join(q, id_col)
+        .join(lang, id_col)
+        .select(id_col, "n_tokens", "quality_score", "lang_pred")
+    )

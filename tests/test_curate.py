@@ -1,0 +1,75 @@
+"""Composed curation pipeline (operators/curate.py): the chain's
+stitching semantics against the engine's own stage outputs, plus
+hand-crafted docs that must drop at each specific stage."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from newscrawler_spark.operators.curate import curate_corpus
+from newscrawler_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+from newscrawler_spark.operators.textstats import quality_stats
+
+BASE = (
+    "the city council approved the annual water budget after a long public "
+    "debate about school funding and road repair plans for the region"
+)
+DOCS = [
+    (0, BASE),
+    (1, BASE),                                     # exact dup of 0 → stage-1 drop
+    (2, BASE.replace("road", "rail")),             # near dup of 0 → stage-3 drop
+    (3, "!!! ??? ... ;;; :::"),                    # junk → stage-2 drop
+    (4, "an unrelated report on harbor traffic and airport expansion with "
+        "sufficient length and ordinary punctuation to pass the quality gate "
+        "while sharing no shingles with the council budget stories at all"),
+    (5, "another distinct article discussing museum festival funding and "
+        "theatre renovation projects across the coastal districts this year "
+        "written plainly enough to clear every quality threshold easily"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_curate_stage_semantics(spark, docs_df):
+    out = curate_corpus(docs_df, quality_min=0.5, near_dup_threshold=0.5)
+    rows = {r.doc_id: r for r in out.collect()}
+    # 1 drops as exact dup, 3 as junk, 2 as near-dup of surviving 0
+    assert set(rows) == {0, 4, 5}
+    for r in rows.values():
+        assert r.quality_score >= 0.5
+        assert r.n_tokens > 0 and r.lang_pred is not None
+
+
+def test_curate_equals_stagewise_composition(spark, docs_df):
+    """survivors == (exact keepers ∩ quality pass) minus {larger id of
+    any verified near-dup pair among that set} — recomputed from the
+    engine's own stage operators, independent of curate.py's joins."""
+    keep = {r.keep_id for r in exact_dedup(docs_df).collect()}
+    good = {
+        r.doc_id
+        for r in quality_stats(docs_df).collect()
+        if r.quality_score >= 0.5
+    }
+    s2 = keep & good
+    s2_df = docs_df.where(F.col("doc_id").isin([int(i) for i in s2]))
+    pairs = minhash_lsh_pairs(s2_df, threshold=0.5).collect()
+    dropped = {r.id2 for r in pairs}
+    expected = s2 - dropped
+    got = {r.doc_id for r in
+           curate_corpus(docs_df, quality_min=0.5,
+                         near_dup_threshold=0.5).collect()}
+    assert got == expected
+
+
+def test_curate_plan_no_python_row_udfs(spark, docs_df):
+    """The whole chain stays JVM-side (Catalyst expressions + joins):
+    no BatchEvalPython / python row UDF stage in the physical plan."""
+    plan = (
+        curate_corpus(docs_df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "PythonUDF" not in plan
