@@ -33,6 +33,24 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 OUT_SCHEMA = "url string, url_canon string, url_hash long, host string"
 STATE_SCHEMA = "hashes array<long>"
 
+# At 10^10-URL scale the bucket states exceed executor heaps; Spark's
+# RocksDB state store (rocksdbjni ships with the distro) spills them to
+# executor-local disk with changelog checkpointing to the checkpoint
+# dir. Session-wide SQL conf — set before starting queries.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def use_rocksdb_state_store(spark) -> str | None:
+    """Switch the session's streaming state store to RocksDB; returns the
+    previous provider setting (None = Spark default HDFSBackedStateStore)
+    so callers/tests can restore it."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    return prev
+
 
 def _dedup_group(
     key, pdfs: Iterator[pd.DataFrame], state: GroupState

@@ -56,3 +56,31 @@ def test_exactly_once_across_batches_and_restart(spark, tmp_path_factory):
     assert {r.url_hash for r in rows} == {1, 2, 3, 9}
     counts = spark.read.parquet(out_dir).groupBy("url_hash").count().collect()
     assert all(r["count"] == 1 for r in counts), "a url was emitted twice"
+
+
+def test_exactly_once_under_rocksdb_state_store(spark, tmp_path_factory):
+    """Same exactly-once + restart contract with the RocksDB state store
+    (the 10^10-scale backend: bucket states live on executor-local disk,
+    not the heap). rocksdbjni ships with the Spark distro, so this runs
+    for real — state written by batch 1 must be re-opened from RocksDB
+    by the restarted query."""
+    from newscrawler_spark.streaming.stateful import use_rocksdb_state_store
+
+    in_dir = str(tmp_path_factory.mktemp("links_in_rdb"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_rdb"))
+    out_dir = str(tmp_path_factory.mktemp("dedup_out_rdb"))
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = use_rocksdb_state_store(spark)
+    try:
+        _run_batch(spark, B1, in_dir, ckpt, out_dir)
+        assert {r.url_hash for r in spark.read.parquet(out_dir).collect()} \
+            == {1, 2, 9}
+        _run_batch(spark, B2, in_dir, ckpt, out_dir)
+        counts = spark.read.parquet(out_dir).groupBy("url_hash").count().collect()
+        assert {r.url_hash for r in counts} == {1, 2, 3, 9}
+        assert all(r["count"] == 1 for r in counts), "a url was emitted twice"
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
