@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "q36_quality_stats",
     "q37_langid",
     "q41_ann_lsh_topk",
+    # r4: real pixel/sample decode tier (media_pixels kernels)
+    "q48_media_pixel_stats",
 ]
 
 

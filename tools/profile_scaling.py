@@ -10,10 +10,26 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import shutil
 import sys
 import tempfile
 import time
+
+
+def norm_stage(name: str) -> str:
+    """Width-stable stage key: strip session-scoped bucket-table hashes,
+    codegen ids, lambda counters, and collapse repeated scopes — AQE
+    shapes the scope chain differently per width, so cross-width
+    matching needs the coarse form."""
+    name = re.sub(r"bkt_[0-9a-f]+(_[0-9a-f]+)?", "bkt", name)
+    name = re.sub(r"WholeStageCodegen \(\d+\)", "WSC", name)
+    name = re.sub(r"spark_catalog\.default\.", "", name)
+    name = re.sub(r"\$anonfun\$\w+\$\d+", "action", name)
+    parts = [p for p in name.split(" | ", 1)[-1].split(">")
+             if p not in ("WSC", "AdaptiveSparkPlan", "Project", "Filter")]
+    head = name.split(" | ", 1)[0]
+    return head + " | " + ">".join(list(dict.fromkeys(parts))[:3])
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -129,13 +145,17 @@ def main() -> None:
                     )
 
     by_name = {}
+    by_norm = {}
     for sid, ms in task_ms.items():
         nm = names.get(sid, f"stage{sid}")
-        agg = by_name.setdefault(nm, {"task_s": 0.0, "gc_s": 0.0, "cpu_s": 0.0})
-        agg["task_s"] += ms / 1000
-        agg["gc_s"] += gc_by.get(sid, 0) / 1000
-        agg["cpu_s"] += cpu_ms.get(sid, 0) / 1000
+        for key, bucket in ((nm, by_name), (norm_stage(nm), by_norm)):
+            agg = bucket.setdefault(
+                key, {"task_s": 0.0, "gc_s": 0.0, "cpu_s": 0.0})
+            agg["task_s"] += ms / 1000
+            agg["gc_s"] += gc_by.get(sid, 0) / 1000
+            agg["cpu_s"] += cpu_ms.get(sid, 0) / 1000
     top = sorted(by_name.items(), key=lambda kv: -kv[1]["task_s"])[:18]
+    top_norm = sorted(by_norm.items(), key=lambda kv: -kv[1]["task_s"])[:24]
     print(json.dumps({
         "cores": cores,
         "wall_s": round(wall, 2),
@@ -146,6 +166,8 @@ def main() -> None:
         "gc_s": round(total_gc_ms / 1000, 1),
         "top_stages": {k: {kk: round(vv, 1) for kk, vv in v.items()}
                        for k, v in top},
+        "top_stages_norm": {k: {kk: round(vv, 1) for kk, vv in v.items()}
+                            for k, v in top_norm},
     }, indent=1))
 
 

@@ -45,10 +45,12 @@ def main() -> None:
     r8 = profile(8)
 
     rows = []
-    names = list(dict.fromkeys(list(r2["top_stages"]) + list(r8["top_stages"])))
+    k2 = r2.get("top_stages_norm", r2["top_stages"])
+    k8 = r8.get("top_stages_norm", r8["top_stages"])
+    names = list(dict.fromkeys(list(k2) + list(k8)))
     for nm in names:
-        a = r2["top_stages"].get(nm)
-        b = r8["top_stages"].get(nm)
+        a = k2.get(nm)
+        b = k8.get(nm)
         row = {"stage": nm, "at2": a, "at8": b}
         if a and b and a["task_s"] > 1.0:
             row["task_ratio_8over2"] = round(b["task_s"] / a["task_s"], 3)
