@@ -566,6 +566,12 @@ CRAWL_ORACLES = {
         SELECT url_canon, url_hash, host FROM {_rp('links')}
         WHERE url_hash NOT IN (SELECT url_hash FROM {_rp('seen')})
     """,
+    # the cuckoo tier must produce the IDENTICAL result (prefilter +
+    # exact confirm ≡ anti-join), so its oracle is q23's
+    "q50_seen_dedup_cuckoo": f"""
+        SELECT url_canon, url_hash, host FROM {_rp('links')}
+        WHERE url_hash NOT IN (SELECT url_hash FROM {_rp('seen')})
+    """,
     "q24_articles_current": f"""
         SELECT url_canon, url_hash,
                CAST(download_date AS VARCHAR) AS download_date,
@@ -860,6 +866,25 @@ def q49_curate_pipeline(spark, sf_dir):
     return curate_corpus(
         _t(spark, sf_dir, "documents"), quality_min=0.5,
         near_dup_threshold=0.5, hasher="md5",
+    )
+
+
+def q50_seen_dedup_cuckoo(spark, sf_dir):
+    """B3 scale path, cuckoo backend (north rule "Bloom/cuckoo") —
+    cuckoo-filter prefilter + exact confirm ≡ the SQL anti join. Same
+    inputs and oracle as q23; what this pins is that the 16-bit
+    fingerprint table, the stash, and the cogrouped probe introduce no
+    false negatives (a FN would let a seen URL through, a row the
+    oracle's anti-join drops) and that FPs are fully removed by the
+    confirm join."""
+    from newscrawler_spark.operators.cuckoo import cuckoo_dedup
+
+    tier = tier_for(sf_dir)
+    ensure_cache(spark, tier)
+    links = spark.read.parquet(_p(tier, "links"))
+    seen = spark.read.parquet(_p(tier, "seen"))
+    return cuckoo_dedup(links, seen, CrawlConfig()).select(
+        "url_canon", "url_hash", "host"
     )
 
 
@@ -1413,6 +1438,7 @@ def all_queries():
         "q47_distributed_rank": q47_distributed_rank,
         "q48_media_pixel_stats": q48_media_pixel_stats,
         "q49_curate_pipeline": q49_curate_pipeline,
+        "q50_seen_dedup_cuckoo": q50_seen_dedup_cuckoo,
     }
 
 

@@ -33,7 +33,7 @@ from newscrawler_spark.operators import discover as D
 from newscrawler_spark.operators import frontier as FR
 from newscrawler_spark.operators import heuristics as H
 from newscrawler_spark.operators import robots as R
-from newscrawler_spark.operators import seen as SN
+from newscrawler_spark.operators.seen_backend import backend_for
 from newscrawler_spark.operators.extract import ARTICLES_SCHEMA, extract_articles
 from newscrawler_spark.operators.store import (
     COUNTERS_SCHEMA,
@@ -158,6 +158,7 @@ def run_crawl(
     """EP1 — full crawl (resumes automatically from the last committed
     round in ``state_dir``; see tests/test_resume.py)."""
     use_bloom = cfg.use_bloom_prefilter if use_bloom is None else use_bloom
+    be = backend_for(cfg)  # bloom (default) or cuckoo seen-filter
     from newscrawler_spark.operators.store import make_state
 
     state = make_state(spark, state_dir, run_id=run_id)
@@ -224,10 +225,11 @@ def run_crawl(
             0, boot, boot.select("url_hash"), empty_log,
             empty_articles, empty_counters,
             bloom_shards=(
-                SN.build_bloom_shards(boot.select("url_hash"), cfg)
+                be.build_shards(boot.select("url_hash"), cfg)
                 if boot_bloom else None
             ),
             bloom_mode="rebuild" if boot_bloom else None,
+            seen_filter=be.name,
         )
         boot.unpersist()
         last = 0
@@ -249,6 +251,10 @@ def run_crawl(
     # while below the activation threshold — rebuilt once on activation,
     # then maintained incrementally.
     shards = state.read_bloom_shards(last) if use_bloom else None
+    if shards is not None and state.shard_backend(last) not in (None, be.name):
+        # state dir written by the OTHER filter backend: shard schemas
+        # differ, so force one rebuild; maintenance is incremental after
+        shards = None
     seen_total = sum(
         state.manifest(x)["row_counts"]["seen_delta"]
         for x in state.committed_rounds()
@@ -448,14 +454,14 @@ def run_crawl(
             # from the full seen set ONLY when absent (legacy state dir)
             # or past the saturation rule — at 10^10 URLs the difference
             # is a ~12 GB shard fold vs re-hashing the whole ledger.
-            if shards is None or SN.shards_saturated(
-                state.bloom_shard_stats(r - 1), cfg.bloom_bits_per_key
+            if shards is None or be.saturated(
+                state.bloom_shard_stats(r - 1), cfg
             ):
-                shards = SN.build_bloom_shards(seen_df, cfg)
+                shards = be.build_shards(seen_df, cfg)
                 bloom_mode = "rebuild"
             else:
                 bloom_mode = "incremental"
-            children = SN.bloom_dedup_with_shards(
+            children = be.dedup_with_shards(
                 gated_children, seen_df, shards, cfg
             )
         else:
@@ -514,10 +520,11 @@ def run_crawl(
                 r, new_frontier, children.select("url_hash"), fetch_log, articles,
                 counters_builder=build_counters,
                 bloom_shards=(
-                    SN.update_bloom_shards(shards, children.select("url_hash"), cfg)
+                    be.update_shards(shards, children.select("url_hash"), cfg)
                     if eff_bloom else None
                 ),
                 bloom_mode=bloom_mode,
+                seen_filter=be.name,
             )
         seen_total += man["row_counts"]["seen_delta"]
         if eff_bloom:
