@@ -31,6 +31,35 @@ def norm_stage(name: str) -> str:
     head = name.split(" | ", 1)[0]
     return head + " | " + ">".join(list(dict.fromkeys(parts))[:3])
 
+_CLASS_MARKERS = [
+    # (marker substring in the raw stage name/scopes, class key) —
+    # first match wins. Classes are width-stable BY CONSTRUCTION (no
+    # name matching across runs), so the 2-vs-8 table always joins.
+    ("FlatMapCoGroupsInPandas", "arrow_cogroup"),
+    ("InPandas", "arrow_map"),
+    ("ArrowEval", "arrow_map"),
+    ("WindowGroupLimit", "window_rank"),
+    ("Window", "window_rank"),
+    ("WriteFiles", "write"),
+    ("BroadcastExchange", "broadcast"),
+    ("Exchange", "shuffle"),
+    ("Scan parquet", "scan"),
+]
+
+
+def stage_class(name: str) -> str:
+    for marker, cls in _CLASS_MARKERS:
+        if marker in name:
+            return cls
+    return "misc"
+
+
+def _steal_snapshot() -> tuple[int, int]:
+    with open("/proc/stat") as f:
+        vals = [int(v) for v in f.readline().split()[1:]]
+    return (vals[7] if len(vals) > 7 else 0), sum(vals)
+
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from newscrawler_spark.config import CrawlConfig  # noqa: E402
@@ -89,10 +118,13 @@ def main() -> None:
         run_crawl(spark, pages, seeds, state_dir, cfg, max_rounds=0,
                   use_bloom=True, extra_frontier=extra_fr)
         t0_epoch_ms = time.time() * 1000
+        s0, tot0 = _steal_snapshot()
         t0 = time.monotonic()
         res = run_crawl(spark, pages, seeds, state_dir, cfg,
                         max_rounds=1, use_bloom=True)
         wall = time.monotonic() - t0
+        s1, tot1 = _steal_snapshot()
+        steal_pct = round(100.0 * (s1 - s0) / max(1, tot1 - tot0), 2)
         counters = res.state.read_counters().collect()
         scheduled = sum(r.urls_scheduled for r in counters)
         extracted = sum(r.articles_extracted for r in counters)
@@ -105,6 +137,7 @@ def main() -> None:
              and not p.endswith(".zstd")]
 
     task_ms, gc_by, names, cpu_ms = {}, {}, {}, {}
+    full_names = {}
     total_task_ms = total_gc_ms = total_cpu_ms = 0
     for path in files:
         with open(path) as f:
@@ -139,16 +172,28 @@ def main() -> None:
                                 scopes.append(json.loads(sc).get("name", ""))
                             except json.JSONDecodeError:
                                 pass
-                    uniq = list(dict.fromkeys(scopes))[:6]
+                    uniq = list(dict.fromkeys(scopes))
                     names[si["Stage ID"]] = (
+                        si["Stage Name"].split(" at ")[0] + " | " + ">".join(uniq[:6])
+                    )
+                    # class markers must see EVERY scope: AQE groups
+                    # scopes into stages differently per width, so a
+                    # truncated chain can drop the marker (e.g. InPandas
+                    # past position 6) at one width only — that's
+                    # exactly the cross-width class flapping the 2-vs-8
+                    # table exists to rule out.
+                    full_names[si["Stage ID"]] = (
                         si["Stage Name"].split(" at ")[0] + " | " + ">".join(uniq)
                     )
 
     by_name = {}
     by_norm = {}
+    by_class = {}
     for sid, ms in task_ms.items():
         nm = names.get(sid, f"stage{sid}")
-        for key, bucket in ((nm, by_name), (norm_stage(nm), by_norm)):
+        cls = stage_class(full_names.get(sid, nm))
+        for key, bucket in ((nm, by_name), (norm_stage(nm), by_norm),
+                            (cls, by_class)):
             agg = bucket.setdefault(
                 key, {"task_s": 0.0, "gc_s": 0.0, "cpu_s": 0.0})
             agg["task_s"] += ms / 1000
@@ -164,6 +209,11 @@ def main() -> None:
         "total_cpu_s": round(total_cpu_ms / 1000, 1),
         "utilization": round(total_task_ms / 1000 / (wall * cores), 3),
         "gc_s": round(total_gc_ms / 1000, 1),
+        "steal_pct": steal_pct,
+        "stage_classes": {k: {kk: round(vv, 1) for kk, vv in v.items()}
+                          for k, v in sorted(
+                              by_class.items(),
+                              key=lambda kv: -kv[1]["task_s"])},
         "top_stages": {k: {kk: round(vv, 1) for kk, vv in v.items()}
                        for k, v in top},
         "top_stages_norm": {k: {kk: round(vv, 1) for kk, vv in v.items()}

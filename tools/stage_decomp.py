@@ -44,40 +44,54 @@ def main() -> None:
     r2 = profile(2)
     r8 = profile(8)
 
+    # PRIMARY table: operator-class aggregation (profile_scaling's
+    # stage_classes) — classes join across widths BY CONSTRUCTION, so
+    # no row is ever unmatched. cpu_s is the load-bearing column: for a
+    # linearly scaling stage the total CPU-seconds are flat at 4x width
+    # (same work, more cores); task_s additionally absorbs GC pauses and
+    # blocked time, so it inflates with epoch contamination (steal is
+    # recorded per leg to make that auditable).
+    classes = []
+    c2 = r2.get("stage_classes", {})
+    c8 = r8.get("stage_classes", {})
+    for cls in dict.fromkeys(list(c2) + list(c8)):
+        a, b = c2.get(cls), c8.get(cls)
+        row = {"class": cls, "at2": a, "at8": b}
+        if a and b and a["cpu_s"] > 1.0:
+            row["cpu_ratio_8over2"] = round(b["cpu_s"] / a["cpu_s"], 3)
+            row["task_ratio_8over2"] = round(
+                b["task_s"] / a["task_s"], 3) if a["task_s"] > 1.0 else None
+        classes.append(row)
+    flagged = [
+        {"class": r["class"],
+         "cpu_ratio": r.get("cpu_ratio_8over2"),
+         "task_ratio": r.get("task_ratio_8over2")}
+        for r in classes
+        if (r.get("cpu_ratio_8over2") or 0) > 1.10
+    ]
+
+    # appendix: normalized per-stage rows (best-effort name matching —
+    # AQE scopes stages differently per width, so unmatched rows are
+    # expected; the class table above is the evidence surface)
     rows = []
     k2 = r2.get("top_stages_norm", r2["top_stages"])
     k8 = r8.get("top_stages_norm", r8["top_stages"])
-    names = list(dict.fromkeys(list(k2) + list(k8)))
-    for nm in names:
-        a = k2.get(nm)
-        b = k8.get(nm)
-        row = {"stage": nm, "at2": a, "at8": b}
-        if a and b and a["task_s"] > 1.0:
-            row["task_ratio_8over2"] = round(b["task_s"] / a["task_s"], 3)
-            if a["cpu_s"] > 1.0:
-                row["cpu_ratio_8over2"] = round(b["cpu_s"] / a["cpu_s"], 3)
-        rows.append(row)
+    for nm in dict.fromkeys(list(k2) + list(k8)):
+        rows.append({"stage": nm, "at2": k2.get(nm), "at8": k8.get(nm)})
 
-    flagged = [
-        {"stage": r["stage"],
-         "task_ratio": r.get("task_ratio_8over2"),
-         "cpu_ratio": r.get("cpu_ratio_8over2")}
-        for r in rows
-        if (r.get("task_ratio_8over2") or 0) > 1.10
-        or (r.get("cpu_ratio_8over2") or 0) > 1.10
-    ]
     out = {
         "tier": os.environ.get("SPARK_GRAFT_SCALING_TIER", "benchxxl"),
-        "summary_at2": {k: r2[k] for k in
+        "summary_at2": {k: r2.get(k) for k in
                         ("cores", "wall_s", "throughput", "total_task_s",
-                         "total_cpu_s", "utilization", "gc_s")},
-        "summary_at8": {k: r8[k] for k in
+                         "total_cpu_s", "utilization", "gc_s", "steal_pct")},
+        "summary_at8": {k: r8.get(k) for k in
                         ("cores", "wall_s", "throughput", "total_task_s",
-                         "total_cpu_s", "utilization", "gc_s")},
+                         "total_cpu_s", "utilization", "gc_s", "steal_pct")},
         "per_core_throughput": {"at2": round(r2["throughput"] / 2, 1),
                                 "at8": round(r8["throughput"] / 8, 1)},
-        "stages": rows,
-        "flagged_over_1p10": flagged,
+        "stage_classes": classes,
+        "flagged_cpu_over_1p10": flagged,
+        "stages_appendix": rows,
     }
     path = os.path.join(REPO, "BENCH", "stage_decomp_2v8.json")
     with open(path, "w") as f:
