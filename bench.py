@@ -48,6 +48,10 @@ BENCH_QUERIES = [
     "q41_ann_lsh_topk",
     # r4: real pixel/sample decode tier (media_pixels kernels)
     "q48_media_pixel_stats",
+    # r4: composed training-data curation chain (exact dedup → quality
+    # gate → MinHash-LSH near-dup removal) and the cuckoo seen-filter
+    "q49_curate_pipeline",
+    "q50_seen_dedup_cuckoo",
 ]
 
 

@@ -572,6 +572,30 @@ CRAWL_ORACLES = {
         SELECT url_canon, url_hash, host FROM {_rp('links')}
         WHERE url_hash NOT IN (SELECT url_hash FROM {_rp('seen')})
     """,
+    # q51: evict-to-recrawl ledger semantics (member iff latest add
+    # beats latest tombstone). Both sides derive the SAME deterministic
+    # 5-round ledger from the seen fixture: adds at round 1+pmod(h,2),
+    # tombstones at 3+pmod(h,2) for pmod(h,5)=0, re-adds at round 5 for
+    # pmod(h,10)=0 — the oracle replays it in pure SQL, the engine side
+    # commits it through CrawlState and reads it back with read_seen.
+    "q51_seen_evict_ledger": f"""
+        WITH s AS (SELECT DISTINCT url_hash FROM {_rp('seen')}),
+        adds AS (
+            SELECT url_hash, 1 + ((url_hash % 2) + 2) % 2 AS rnd FROM s
+            UNION ALL
+            SELECT url_hash, 5 AS rnd FROM s
+            WHERE ((url_hash % 10) + 10) % 10 = 0
+        ),
+        evs AS (
+            SELECT url_hash, 3 + ((url_hash % 2) + 2) % 2 AS rnd FROM s
+            WHERE ((url_hash % 5) + 5) % 5 = 0
+        ),
+        la AS (SELECT url_hash, MAX(rnd) AS la FROM adds GROUP BY url_hash),
+        le AS (SELECT url_hash, MAX(rnd) AS le FROM evs GROUP BY url_hash)
+        SELECT la.url_hash AS url_hash
+        FROM la LEFT JOIN le ON la.url_hash = le.url_hash
+        WHERE le.url_hash IS NULL OR la.la > le.le
+    """,
     "q24_articles_current": f"""
         SELECT url_canon, url_hash,
                CAST(download_date AS VARCHAR) AS download_date,
@@ -886,6 +910,60 @@ def q50_seen_dedup_cuckoo(spark, sf_dir):
     return cuckoo_dedup(links, seen, CrawlConfig()).select(
         "url_canon", "url_hash", "host"
     )
+
+
+def q51_seen_evict_ledger(spark, sf_dir):
+    """F1 evict-to-recrawl ledger semantics (runner.evict_to_recrawl /
+    CrawlState.read_seen tombstone rule): a key is seen iff its latest
+    add round beats its latest evict round. The engine side commits a
+    deterministic 5-round add/evict/re-add ledger derived from the seen
+    fixture THROUGH the real store (commit_round with seen_evict, cached
+    once under the fixture dir) and returns the real read_seen view; the
+    oracle replays the same derivation in pure SQL."""
+    import shutil
+
+    from newscrawler_spark.operators.extract import ARTICLES_SCHEMA
+    from newscrawler_spark.operators.store import (
+        COUNTERS_SCHEMA,
+        FETCH_LOG_SCHEMA,
+        FRONTIER_SCHEMA,
+        CrawlState,
+    )
+
+    tier = tier_for(sf_dir)
+    ensure_cache(spark, tier)
+    d = os.path.join(cache_dir(tier), "evict_state")
+    marker = os.path.join(d, "_EVICT_STATE_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        seen = spark.read.parquet(_p(tier, "seen")).select("url_hash")
+        h = F.col("url_hash")
+        st = CrawlState(spark, d, run_id="evict-ledger")
+
+        def commit(r, adds=None, evicts=None):
+            st.commit_round(
+                r,
+                spark.createDataFrame([], FRONTIER_SCHEMA),
+                adds if adds is not None
+                else spark.createDataFrame([], "url_hash long"),
+                spark.createDataFrame([], FETCH_LOG_SCHEMA),
+                spark.createDataFrame([], ARTICLES_SCHEMA),
+                counters=spark.createDataFrame(
+                    [("evict-ledger", r, 0, 0, 0, 0, 0, 0, 0)],
+                    COUNTERS_SCHEMA),
+                seen_evict=evicts,
+            )
+
+        commit(1, adds=seen.where(F.pmod(h, F.lit(2)) == 0))
+        commit(2, adds=seen.where(F.pmod(h, F.lit(2)) == 1))
+        commit(3, evicts=seen.where(
+            (F.pmod(h, F.lit(5)) == 0) & (F.pmod(h, F.lit(2)) == 0)))
+        commit(4, evicts=seen.where(
+            (F.pmod(h, F.lit(5)) == 0) & (F.pmod(h, F.lit(2)) == 1)))
+        commit(5, adds=seen.where(F.pmod(h, F.lit(10)) == 0))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return CrawlState(spark, d, run_id="evict-ledger").read_seen()
 
 
 def _curate_oracle(quality_min: float = 0.5, threshold: float = 0.5) -> str:
@@ -1439,6 +1517,7 @@ def all_queries():
         "q48_media_pixel_stats": q48_media_pixel_stats,
         "q49_curate_pipeline": q49_curate_pipeline,
         "q50_seen_dedup_cuckoo": q50_seen_dedup_cuckoo,
+        "q51_seen_evict_ledger": q51_seen_evict_ledger,
     }
 
 

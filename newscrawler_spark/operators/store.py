@@ -121,9 +121,18 @@ class CrawlState:
         bloom_shards: DataFrame | None = None,
         bloom_mode: str | None = None,
         seen_filter: str = "bloom",
+        seen_evict: DataFrame | None = None,
     ) -> dict:
         """One transactional checkpoint (A11/G2): all tables land under
         ``round=r/``, then the manifest is renamed into place LAST.
+
+        ``seen_evict`` (optional, ``url_hash`` rows) tombstones keys in
+        the seen ledger as of this round (F1 evict-to-recrawl): a key is
+        a member of ``read_seen(upto)`` iff its latest add round beats
+        its latest evict round. Re-fetching the URL later re-adds it
+        (the runner folds re-fetched tombstoned hashes into that round's
+        delta), so evict → re-fetch → seen again, with full history kept
+        per round.
 
         ``counters_builder(counts) -> DataFrame`` lets the caller derive
         the metrics row from the footer row-counts of the just-written
@@ -145,6 +154,8 @@ class CrawlState:
         }
         if bloom_shards is not None:
             tables["bloom_shards"] = bloom_shards
+        if seen_evict is not None:
+            tables["seen_evict"] = seen_evict.select("url_hash")
         counts = {}
         phase_log = os.environ.get("SPARK_GRAFT_PHASE_LOG") == "1"
 
@@ -329,12 +340,23 @@ class CrawlState:
         """Seen membership set as of round ``upto``: compacted base (if
         any) + the delta tail after it. Deltas are pairwise disjoint by
         construction (children are deduped against the seen set before
-        commit), so no distinct() — the old distinct-over-all-rounds form
-        re-shuffled the whole ledger every round."""
+        commit; evict→re-fetch re-adds are separated by an intervening
+        tombstone the filter below removes), so no distinct() — the old
+        distinct-over-all-rounds form re-shuffled the whole ledger every
+        round.
+
+        With eviction rounds in the tail (F1 evict-to-recrawl): a key is
+        a member iff its latest add round beats its latest evict round.
+        The common no-evictions path is detected from the manifests
+        (driver-side, no Spark job) and stays the single multi-path
+        parquet scan; compaction folds tombstones into the base, so the
+        tagged-union branch below is only paid between an eviction and
+        the next compact_seen."""
         base_r = self._seen_base_round(upto)
         rounds = [r for r in self.committed_rounds()
                   if (upto is None or r <= upto)
                   and (base_r is None or r > base_r)]
+        ev_rounds = self._evict_rounds(upto=upto, after=base_r)
         parts = []
         if base_r is not None:
             parts.append(os.path.join(self.dir, "seen_base", f"base={base_r}"))
@@ -342,7 +364,67 @@ class CrawlState:
                      for r in rounds)
         if not parts:
             return self.spark.createDataFrame([], SEEN_SCHEMA)
-        return self.spark.read.schema(SEEN_SCHEMA).parquet(*parts)
+        if not ev_rounds:
+            return self.spark.read.schema(SEEN_SCHEMA).parquet(*parts)
+        # eviction-aware view: tag every add with its round (the base
+        # counts as round base_r — evicts ≤ base_r are already folded),
+        # keep rows whose add beats the key's last tombstone. The evict
+        # ledger is small by design (eviction rounds carry only the
+        # changed-URL set), so its group-max broadcasts.
+        adds = []
+        if base_r is not None:
+            adds.append(
+                self.spark.read.schema(SEEN_SCHEMA).parquet(parts[0])
+                .withColumn("add_round", F.lit(base_r)))
+        for r in rounds:
+            adds.append(
+                self.spark.read.schema(SEEN_SCHEMA)
+                .parquet(os.path.join(self._round_dir(r), "seen_delta"))
+                .withColumn("add_round", F.lit(r)))
+        evs = union_all([
+            self.spark.read.schema(SEEN_SCHEMA)
+            .parquet(os.path.join(self._round_dir(r), "seen_evict"))
+            .withColumn("evict_round", F.lit(r))
+            for r in ev_rounds
+        ])
+        last_ev = evs.groupBy("url_hash").agg(
+            F.max("evict_round").alias("evict_round"))
+        return (
+            union_all(adds)
+            .join(F.broadcast(last_ev), "url_hash", "left")
+            .where(F.col("evict_round").isNull()
+                   | (F.col("add_round") > F.col("evict_round")))
+            .select("url_hash")
+        )
+
+    def _evict_rounds(self, upto: int | None = None,
+                      after: int | None = None) -> list[int]:
+        """Committed rounds in (after, upto] that tombstoned keys —
+        read from the manifests, no Spark job."""
+        out = []
+        for r in self.committed_rounds():
+            if upto is not None and r > upto:
+                continue
+            if after is not None and r <= after:
+                continue
+            if self.manifest(r)["row_counts"].get("seen_evict", 0) > 0:
+                out.append(r)
+        return out
+
+    def read_seen_evictions(self, upto: int | None = None) -> DataFrame | None:
+        """Every url_hash ever tombstoned in the un-compacted tail
+        (superset of the currently-evicted set; None when there are no
+        eviction rounds — the runner uses this to skip the re-add path
+        entirely on eviction-free state dirs)."""
+        ev_rounds = self._evict_rounds(upto=upto,
+                                       after=self._seen_base_round(upto))
+        if not ev_rounds:
+            return None
+        return union_all([
+            self.spark.read.schema(SEEN_SCHEMA)
+            .parquet(os.path.join(self._round_dir(r), "seen_evict"))
+            for r in ev_rounds
+        ]).distinct()
 
     def read_fetch_log(self, upto: int | None = None) -> DataFrame:
         return self._read_deltas("fetch_log", upto, FETCH_LOG_SCHEMA)

@@ -110,6 +110,39 @@ def compact_drop_deltas_sql(ns: str, upto: int) -> str:
     return f"DELETE FROM {ns}.seen_delta WHERE fetch_round <= {upto}"
 
 
+def compact_apply_evictions_sql(ns: str, upto: int) -> str:
+    """Fold committed evict tombstones ≤ upto into seen_base at
+    compaction: delete every base key whose latest tombstone beats its
+    latest add (parquet-backend parity: compaction materializes the
+    effective view and drops folded tombstones). Caveat vs the parquet
+    backend: first_round-based as-of reads below the compaction point
+    lose evict→re-add granularity — same first-write-wins limitation
+    compact_merge_sql already has for re-added keys."""
+    return f"""
+            DELETE FROM {ns}.seen_base WHERE url_hash IN (
+                SELECT e.url_hash FROM (
+                    SELECT url_hash, MAX(fetch_round) AS le
+                    FROM {ns}.seen_evict
+                    WHERE fetch_round <= {upto}
+                      AND fetch_round IN (SELECT round FROM {ns}.rounds)
+                    GROUP BY url_hash
+                ) e
+                LEFT JOIN (
+                    SELECT url_hash, MAX(fetch_round) AS la
+                    FROM {ns}.seen_delta
+                    WHERE fetch_round <= {upto}
+                      AND fetch_round IN (SELECT round FROM {ns}.rounds)
+                    GROUP BY url_hash
+                ) a ON a.url_hash = e.url_hash
+                WHERE a.url_hash IS NULL OR e.le >= a.la
+            )
+        """
+
+
+def compact_drop_evictions_sql(ns: str, upto: int) -> str:
+    return f"DELETE FROM {ns}.seen_evict WHERE fetch_round <= {upto}"
+
+
 def iceberg_available(spark: SparkSession, catalog: str = "crawl") -> bool:
     """True iff an Iceberg catalog named ``catalog`` is usable in this
     session (extensions + runtime jar + catalog conf all present)."""
@@ -148,6 +181,8 @@ class IcebergCrawlState:
             "rounds": (ROUNDS_SCHEMA, None),
             "frontier": (FRONTIER_SCHEMA + ", fetch_round int", "fetch_round"),
             "seen_delta": (SEEN_SCHEMA + ", fetch_round int", "fetch_round"),
+            # F1 evict-to-recrawl tombstones (see CrawlState.read_seen)
+            "seen_evict": (SEEN_SCHEMA + ", fetch_round int", "fetch_round"),
             "fetch_log": (FETCH_LOG_SCHEMA, "fetch_round"),
             "articles_delta": (ARTICLES_SCHEMA + ", fetch_round int",
                                "fetch_round"),
@@ -193,6 +228,8 @@ class IcebergCrawlState:
         counters_builder=None,
         bloom_shards: DataFrame | None = None,
         bloom_mode: str | None = None,
+        seen_filter: str = "bloom",
+        seen_evict: DataFrame | None = None,
     ) -> dict:
         rd = F.lit(r).cast("int").alias("fetch_round")
         writes = {
@@ -205,6 +242,9 @@ class IcebergCrawlState:
         if bloom_shards is not None:
             # shards are a full snapshot per round: replace, not append
             writes["bloom_shards"] = bloom_shards.withColumn("fetch_round", rd)
+        if seen_evict is not None:
+            writes["seen_evict"] = seen_evict.select("url_hash").withColumn(
+                "fetch_round", rd)
         counts = {}
         for name, df in writes.items():
             # heal a torn prior attempt: a crash between the data appends
@@ -234,6 +274,7 @@ class IcebergCrawlState:
         man = {"run_id": self.run_id, "round": r, "row_counts": counts}
         if bloom_shards is not None:
             man["bloom"] = {"mode": bloom_mode or "unknown",
+                            "backend": seen_filter,
                             "delta_rows": counts["seen_delta"]}
         self._manifests = getattr(self, "_manifests", {})
         self._manifests[r] = man
@@ -289,16 +330,43 @@ class IcebergCrawlState:
     def read_seen(self, upto: int | None = None) -> DataFrame:
         df = self.spark.table(f"{self.ns}.seen_delta")
         base = self.spark.table(f"{self.ns}.seen_base")
+        ev = self.spark.table(f"{self.ns}.seen_evict")
         if upto is not None:
             df = df.where(F.col("fetch_round") <= upto)
             # as-of semantics survive compaction: seen_base records each
             # key's first fetch_round, so a historical read excludes keys
             # first seen after `upto` even though their deltas were folded
             base = base.where(F.col("first_round") <= upto)
-        return (
-            self._committed(df).drop("fetch_round")
-            .unionByName(base.drop("first_round"))
+            ev = ev.where(F.col("fetch_round") <= upto)
+        adds = (
+            self._committed(df)
+            .select("url_hash", F.col("fetch_round").alias("add_round"))
+            .unionByName(base.select(
+                "url_hash", F.col("first_round").alias("add_round")))
         )
+        # F1 tombstones: member iff the latest add beats the latest evict
+        # (same rule as CrawlState.read_seen; the evict table is empty on
+        # eviction-free states and Catalyst collapses the join away via
+        # the broadcast of an empty aggregate)
+        last_ev = (
+            self._committed(ev).groupBy("url_hash")
+            .agg(F.max("fetch_round").alias("evict_round"))
+        )
+        return (
+            adds.join(F.broadcast(last_ev), "url_hash", "left")
+            .where(F.col("evict_round").isNull()
+                   | (F.col("add_round") > F.col("evict_round")))
+            .select("url_hash")
+        )
+
+    def read_seen_evictions(self, upto: int | None = None) -> DataFrame | None:
+        """Every committed tombstoned url_hash ≤ upto (None when the
+        eviction table is empty) — runner re-add path, see CrawlState."""
+        ev = self.spark.table(f"{self.ns}.seen_evict")
+        if upto is not None:
+            ev = ev.where(F.col("fetch_round") <= upto)
+        ev = self._committed(ev).select("url_hash").distinct()
+        return ev if ev.take(1) else None
 
     def read_fetch_log(self, upto: int | None = None) -> DataFrame:
         df = self.spark.table(f"{self.ns}.fetch_log")
@@ -327,6 +395,19 @@ class IcebergCrawlState:
             .where(F.col("fetch_round") == r).drop("fetch_round")
         )
         return df if df.take(1) else None
+
+    def shard_backend(self, r: int | None = None) -> str | None:
+        """Backend that wrote round ``r``'s shards. The Iceberg DDL pins
+        the Bloom SHARD_SCHEMA (a cuckoo shard row cannot land in that
+        table), so this is 'bloom' whenever shards exist for the round."""
+        r = self.latest_round() if r is None else r
+        if r is None:
+            return None
+        man = getattr(self, "_manifests", {}).get(r)
+        if man is not None:
+            blk = man.get("bloom")
+            return None if blk is None else blk.get("backend", "bloom")
+        return "bloom" if self.read_bloom_shards(r) is not None else None
 
     def bloom_shard_stats(self, r: int | None = None) -> list[dict]:
         r = self.latest_round() if r is None else r
@@ -359,7 +440,11 @@ class IcebergCrawlState:
             return None
         # fold COMMITTED deltas only (a torn round's orphan rows must not
         # leak into the base), carrying each key's first fetch_round so
-        # read_seen(upto) stays correct after the deltas are dropped
+        # read_seen(upto) stays correct after the deltas are dropped.
+        # Eviction fold runs AFTER the merge (it needs the per-key max
+        # add round from the still-present deltas) and BEFORE the drops.
         self.spark.sql(compact_merge_sql(self.ns, upto))
+        self.spark.sql(compact_apply_evictions_sql(self.ns, upto))
         self.spark.sql(compact_drop_deltas_sql(self.ns, upto))
+        self.spark.sql(compact_drop_evictions_sql(self.ns, upto))
         return upto

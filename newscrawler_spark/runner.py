@@ -259,6 +259,14 @@ def run_crawl(
         state.manifest(x)["row_counts"]["seen_delta"]
         for x in state.committed_rounds()
     )
+    # F1 evict-to-recrawl support: when the state dir carries tombstone
+    # rounds, a re-fetch of a tombstoned URL must re-enter the seen
+    # ledger (delta = children + re-adds) or the URL would be enqueued
+    # again by the next page that links to it. Manifest check is
+    # driver-side — zero cost on eviction-free state dirs.
+    evict_ledger = state.read_seen_evictions(last)
+    if evict_ledger is not None:
+        evict_ledger = evict_ledger.persist()
 
     rounds_run = 0
     r = last
@@ -515,12 +523,25 @@ def run_crawl(
                 COUNTERS_SCHEMA,
             )
 
+        seen_delta = children.select("url_hash")
+        if evict_ledger is not None:
+            # re-add tombstoned hashes fetched this round. retry==0 keeps
+            # the re-add to the FIRST attempt of each evict→re-fetch
+            # cycle (retries of a failed re-fetch would otherwise re-add
+            # the same hash with no intervening tombstone, breaking the
+            # ledger's set-ness). The ledger is tiny → broadcast semi.
+            readds = (
+                fetch_log.where(F.col("retry") == 0)
+                .select("url_hash")
+                .join(F.broadcast(evict_ledger), "url_hash", "left_semi")
+            )
+            seen_delta = seen_delta.unionByName(readds)
         with _phase("commit_round"):
             man = state.commit_round(
-                r, new_frontier, children.select("url_hash"), fetch_log, articles,
+                r, new_frontier, seen_delta, fetch_log, articles,
                 counters_builder=build_counters,
                 bloom_shards=(
-                    be.update_shards(shards, children.select("url_hash"), cfg)
+                    be.update_shards(shards, seen_delta, cfg)
                     if eff_bloom else None
                 ),
                 bloom_mode=bloom_mode,
@@ -553,7 +574,88 @@ def run_crawl(
         if n_sched == 0:
             break
 
+    if evict_ledger is not None:
+        evict_ledger.unpersist()
     return CrawlResult(state=state, rounds_run=rounds_run, final_round=r)
+
+
+def evict_to_recrawl(
+    spark: SparkSession,
+    state,
+    urls: DataFrame,
+    cfg: CrawlConfig = DEFAULT_CONFIG,
+) -> dict:
+    """F1 evict-to-recrawl: make previously-fetched URLs fetchable again
+    (the deletion capability of the cuckoo seen-filter, north rule
+    "Bloom/cuckoo"). One committed eviction round:
+
+    1. tombstones the url_hashes in the seen ledger (``seen_evict``
+       table; ``read_seen`` excludes them until a later re-fetch
+       re-adds them — see ``CrawlState.read_seen``);
+    2. cuckoo backend: deletes their fingerprints from the persisted
+       shards — O(|evict|), the operation Bloom bits cannot express.
+       Bloom backend: shards are carried forward unchanged; the now-
+       stale positive routes the URL through the exact confirm, which
+       the tombstoned ledger lets pass — identical crawl results, one
+       extra confirm-join row per evicted URL until the next rebuild;
+    3. re-enqueues the URLs as seed-priority frontier rows, so the next
+       ``run_crawl`` round re-fetches them and re-adds them to the
+       ledger (the ``evict_ledger`` re-add path in the round loop).
+
+    ``urls``: DataFrame with a ``url`` column (e.g. the changed-items
+    output of ``rss_recrawl_compare`` with ``link`` renamed). Returns
+    the committed round manifest, or None when ``urls`` is empty (an
+    empty eviction commits no round).
+    """
+    from newscrawler_spark.operators.extract import ARTICLES_SCHEMA
+    from newscrawler_spark.operators.sinks import download_list_frontier
+    from newscrawler_spark.operators.store import (
+        COUNTERS_SCHEMA as _CSCHEMA,
+        FETCH_LOG_SCHEMA as _FSCHEMA,
+        SEEN_SCHEMA as _SSCHEMA,
+    )
+
+    last = state.latest_round()
+    if last is None:
+        raise ValueError("evict_to_recrawl needs a committed crawl state")
+    be = backend_for(cfg)
+    rows = download_list_frontier(urls).persist()
+    if not rows.take(1):
+        rows.unpersist()
+        return None
+    evict = rows.select("url_hash")
+    # a fetched URL cannot still be queued, but a repeated evict call can
+    # race its own prior injection — dedup keeps one frontier row
+    frontier = FR.dedup_in_batch(
+        state.read_frontier(last).unionByName(rows.select(*FR.FRONTIER_COLS))
+    )
+    shards = state.read_bloom_shards(last)
+    new_shards, mode = None, None
+    if shards is not None:
+        if state.shard_backend(last) == "cuckoo" and be.name == "cuckoo":
+            from newscrawler_spark.operators.cuckoo import delete_from_shards
+
+            new_shards, mode = delete_from_shards(shards, evict, cfg), "evict-delete"
+        else:
+            new_shards, mode = shards, "evict-carry"
+    r = last + 1
+
+    def build_counters(counts: dict):
+        return spark.createDataFrame(
+            [(state.run_id, r, counts["seen_evict"], 0, 0, 0, 0, 0, 0)],
+            _CSCHEMA,
+        )
+
+    man = state.commit_round(
+        r, frontier, spark.createDataFrame([], _SSCHEMA),
+        spark.createDataFrame([], _FSCHEMA),
+        spark.createDataFrame([], ARTICLES_SCHEMA),
+        counters_builder=build_counters,
+        bloom_shards=new_shards, bloom_mode=mode, seen_filter=be.name,
+        seen_evict=evict,
+    )
+    rows.unpersist()
+    return man
 
 
 def _localize(spark: SparkSession, df: DataFrame) -> DataFrame:

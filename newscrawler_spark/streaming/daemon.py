@@ -130,6 +130,31 @@ def recrawl_rss_once(
     return n
 
 
+def recrawl_evict_once(
+    spark: SparkSession, pages_enriched: DataFrame, state: CrawlState,
+    cfg=None,
+) -> dict:
+    """F1 daemon tick, evict variant: instead of re-extracting the
+    changed items in place (:func:`recrawl_rss_once`), EVICT them from
+    the seen set so the next crawl round re-FETCHES them through the
+    full pipeline (robots gate, heuristics, extraction, versioned
+    store). This is the flow that exercises the cuckoo filter's
+    deletion: the changed URLs' fingerprints are removed from the
+    persisted shards in O(|changed|), no rebuild.
+
+    Returns the eviction round's manifest (``row_counts['seen_evict']``
+    = number of URLs made re-fetchable), or None when nothing changed
+    (an empty eviction commits no round).
+    """
+    from newscrawler_spark.config import CrawlConfig
+    from newscrawler_spark.runner import evict_to_recrawl
+
+    cfg = cfg or CrawlConfig()
+    snap = feed_snapshot(pages_enriched)
+    changed = changed_items(snap, state).select(F.col("link").alias("url"))
+    return evict_to_recrawl(spark, state, changed, cfg)
+
+
 def recrawl_rss_stream(
     spark: SparkSession,
     feed_dir: str,

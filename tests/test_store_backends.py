@@ -218,3 +218,25 @@ def test_iceberg_compact_statements_golden():
     assert SI.compact_drop_deltas_sql("crawl.state", 9) == (
         "DELETE FROM crawl.state.seen_delta WHERE fetch_round <= 9"
     )
+
+
+def test_iceberg_evict_statements_golden():
+    """F1 evict-to-recrawl fold: at compaction, base keys whose latest
+    COMMITTED tombstone ties-or-beats their latest COMMITTED add are
+    deleted (ties go to the tombstone — the read rule keeps a key only
+    when add_round is STRICTLY greater); folded tombstone partitions are
+    dropped in a separate snapshot afterwards."""
+    from newscrawler_spark.operators import store_iceberg as SI
+
+    sql = SI.compact_apply_evictions_sql("crawl.state", 9)
+    assert "DELETE FROM crawl.state.seen_base WHERE url_hash IN" in sql
+    assert "MAX(fetch_round) AS le" in sql and "FROM crawl.state.seen_evict" in sql
+    assert "MAX(fetch_round) AS la" in sql and "FROM crawl.state.seen_delta" in sql
+    # committed-rounds guard on BOTH sides (torn tombstones must not
+    # delete, torn adds must not protect)
+    assert sql.count("fetch_round IN (SELECT round FROM crawl.state.rounds)") == 2
+    assert sql.count("WHERE fetch_round <= 9") == 2
+    assert "WHERE a.url_hash IS NULL OR e.le >= a.la" in sql
+    assert SI.compact_drop_evictions_sql("crawl.state", 9) == (
+        "DELETE FROM crawl.state.seen_evict WHERE fetch_round <= 9"
+    )
