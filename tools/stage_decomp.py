@@ -24,9 +24,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def profile(cores: int) -> dict:
     env = dict(os.environ)
     env.setdefault("SPARK_GRAFT_SCALING_TIER", "benchxxl")
+    # measure the SAME session config as the scaling pair it backs
+    # (bench_scaling.SCALING_CONF): AQE off — the job is statically
+    # sized and AQE's per-exchange barrier weighs 4x more at 4x width.
+    # Without this the decomp profiles a different plan than the claim.
+    conf = json.dumps({
+        "spark.sql.adaptive.enabled": "false",
+        "spark.python.worker.faulthandler.enabled": "true",
+        "spark.task.maxFailures": "3",
+    })
     p = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "profile_scaling.py"),
-         str(cores)],
+         str(cores), conf],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=3600,
     )
     idx = p.stdout.rfind("\n{")
