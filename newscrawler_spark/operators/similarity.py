@@ -42,7 +42,7 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
-def brute_force_topk(
+def brute_force_topk_catalyst(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
@@ -52,6 +52,12 @@ def brute_force_topk(
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
     """Exact cosine top-k per query: broadcast queries × corpus, window cut.
+
+    The no-Python tier (pure Catalyst higher-order functions, plan-
+    asserted JVM-only) — kept as the oracle form; the default
+    :func:`brute_force_topk` computes the identical result with one
+    numpy GEMM per Arrow batch (equality-tested, ~an order of magnitude
+    faster: the q41 precedent).
 
     Output (query_id, vec_id, cos, rank) — rank ties broken by vec_id so
     results are deterministic and oracle-comparable.
@@ -63,6 +69,85 @@ def brute_force_topk(
     scored = e.crossJoin(F.broadcast(q)).withColumn(
         "cos", cosine_expr(F.col("v"), F.col("qv"))
     )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k per query — GEMM tier (default).
+
+    One float64 ``Vn @ Qn.T`` per Arrow batch against the broadcast
+    normalized query matrix (queries are small by this operator's
+    contract — it IS the exhaustive baseline), then a tie-safe batch cut
+    (every row with cos >= the batch's k-th largest survives, so a
+    global tie can never be dropped locally) and a global per-query
+    window over the ~batches×k survivors. Exact ≡
+    :func:`brute_force_topk_catalyst` (equality-tested); at 10^9×Q the
+    flops are the same but SIMD-batched, and only ~k rows per (batch,
+    query) leave Python instead of N·Q rows entering the window.
+
+    Divergence note: a zero-norm vector yields no row here (non-finite
+    cosine dropped batch-side), while the Catalyst tier emits a
+    null-cos row that can only surface when a query has fewer than k
+    finite candidates.
+    """
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qv"),
+    ).collect()
+    if not qrows:
+        e0 = embeddings.select(F.col(id_col).alias("vec_id")).schema["vec_id"]
+        q0 = queries.select(F.col(query_id_col).alias("query_id")).schema["query_id"]
+        return embeddings.sparkSession.createDataFrame(
+            [], f"query_id {q0.dataType.simpleString()}, "
+                f"vec_id {e0.dataType.simpleString()}, cos double, rank int")
+    qids = [r["query_id"] for r in qrows]
+    qmat = np.array([r["qv"] for r in qrows], dtype=np.float64)
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qn[qn == 0] = np.nan
+    qmat = qmat / qn
+
+    e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    qid_t = queries.select(F.col(query_id_col).alias("q")).schema["q"].dataType
+    vid_t = e.schema["vec_id"].dataType
+    out_schema = (f"query_id {qid_t.simpleString()}, "
+                  f"vec_id {vid_t.simpleString()}, cos double")
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.array(pdf["v"].tolist(), dtype=np.float64)
+            n = np.linalg.norm(v, axis=1, keepdims=True)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = (v / n) @ qmat.T  # b × Q
+            ids = pdf["vec_id"].to_numpy()
+            for j, qid in enumerate(qids):
+                col = s[:, j]
+                finite = np.isfinite(col)
+                col_f, ids_f = col[finite], ids[finite]
+                if len(col_f) > k:
+                    kth = np.partition(col_f, -k)[-k]
+                    keep = col_f >= kth
+                    col_f, ids_f = col_f[keep], ids_f[keep]
+                yield pd.DataFrame(
+                    {"query_id": qid, "vec_id": ids_f, "cos": col_f})
+
+    scored = e.mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

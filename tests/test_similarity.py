@@ -185,15 +185,32 @@ def test_similarity_plans_are_jvm_only(spark, emb_df, queries_df):
         ivf_topk,
     )
 
+    from newscrawler_spark.operators.similarity import brute_force_topk_catalyst
+
     cents = ivf_build_centroids(emb_df, n_lists=4, dim=DIM, iters=0)
     for df in (
-        brute_force_topk(emb_df, queries_df, k=3),
+        brute_force_topk_catalyst(emb_df, queries_df, k=3),
         ann_lsh_topk(emb_df, queries_df, k=3, dim=DIM, n_tables=2,
                      method="catalyst"),
         ivf_topk(emb_df, queries_df, cents, k=3, n_probe=2),
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "Pandas" not in plan
+
+
+def test_brute_force_gemm_equals_catalyst(spark, emb_df, queries_df):
+    """The GEMM default and the Catalyst oracle tier agree row-for-row
+    (same rounded cos, same vec_id tie-breaks) — the batch threshold cut
+    keeps ties so no global-top-k member can be dropped locally."""
+    from newscrawler_spark.operators.similarity import brute_force_topk_catalyst
+
+    for k in (1, 5, 17):
+        g = {(r.query_id, r.vec_id, r.cos, r.rank)
+             for r in brute_force_topk(emb_df, queries_df, k=k).collect()}
+        c = {(r.query_id, r.vec_id, r.cos, r.rank)
+             for r in brute_force_topk_catalyst(
+                 emb_df, queries_df, k=k).collect()}
+        assert g == c and len(g) > 0
 
 
 def test_gemm_bucketing_equals_catalyst(spark, emb_df, queries_df):
