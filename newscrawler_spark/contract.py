@@ -966,6 +966,105 @@ def q51_seen_evict_ledger(spark, sf_dir):
     return CrawlState(spark, d, run_id="evict-ledger").read_seen()
 
 
+def q52_warc_roundtrip(spark, sf_dir):
+    """A12 WARC source (sources/warc.py): documents are encoded into
+    Common-Crawl-convention ``.warc.gz`` blobs (one gzip member per
+    record) by the REAL encoder and read back by the REAL member/record
+    parser; the output exposes every header field the parser recovered
+    plus a byte-identity flag against the original text. The DuckDB
+    oracle restates each field closed-form from ``documents`` — it
+    rebuilds the HTTP block AS A STRING to measure the WARC
+    Content-Length and re-derives the md5 record id — sharing zero
+    framing/parsing code, so any drift in CRLF discipline, header
+    templates, gzip member splits, or length math breaks the hash."""
+    from datetime import timedelta
+
+    import pandas as pd
+
+    from newscrawler_spark.sources.fixtures import EPOCH
+    from newscrawler_spark.sources.warc import (
+        _DATE_FMT,
+        encode_response_record,
+        gzip_member,
+        parse_warc_bytes,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def _enc(key, pdf):
+        pdf = pdf.sort_values("doc_id")
+        members = []
+        for doc_id, text, source in zip(pdf["doc_id"], pdf["text"],
+                                        pdf["source"]):
+            url = f"https://warc.invalid/{source}/{doc_id}"
+            ts = EPOCH + timedelta(seconds=int(doc_id))
+            members.append(gzip_member(encode_response_record(
+                url, ts.strftime(_DATE_FMT), text.encode("utf-8"))))
+        return pd.DataFrame({"grp": [int(key[0])],
+                             "data": [b"".join(members)]})
+
+    blobs = docs.groupBy(F.pmod("doc_id", F.lit(4)).alias("grp")).applyInPandas(
+        _enc, "grp int, data binary")
+
+    def _dec(batches):
+        for pdf in batches:
+            rows = [
+                (r["url"], r["date"], r["record_id"], r["http_status"],
+                 r["mime"], len(r["html"]), r["content_length"],
+                 bytes(r["html"]))
+                for data in pdf["data"]
+                for r in parse_warc_bytes(bytes(data))
+            ]
+            yield pd.DataFrame(rows, columns=[
+                "target_uri", "warc_date", "record_id", "http_status",
+                "mime", "payload_bytes", "warc_content_length", "payload",
+            ])
+
+    recs = blobs.mapInPandas(
+        _dec,
+        "target_uri string, warc_date string, record_id string, "
+        "http_status int, mime string, payload_bytes long, "
+        "warc_content_length long, payload binary",
+    )
+    parsed = recs.withColumn(
+        "doc_id", F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long"))
+    return parsed.join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", "target_uri", "warc_date", "record_id", "http_status",
+        "mime", "payload_bytes", "warc_content_length",
+        (F.col("payload") == F.encode("text", "UTF-8")).alias(
+            "payload_identical"),
+    )
+
+
+_Q52_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, text, source,
+        'https://warc.invalid/' || source || '/' || doc_id AS uri,
+        octet_length(encode(text)) AS n
+      FROM documents),
+    h AS (
+      SELECT *,
+        octet_length(encode(
+          'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+          'Content-Type: text/html; charset=utf-8' || chr(13) || chr(10) ||
+          'Content-Length: ' || n || chr(13) || chr(10) ||
+          chr(13) || chr(10))) + n AS clen
+      FROM d)
+    SELECT doc_id, uri AS target_uri,
+      strftime(TIMESTAMP '2016-05-01 00:00:00' + to_seconds(doc_id),
+               '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+      '<urn:uuid:' || substr(md5(uri), 1, 8) || '-' ||
+        substr(md5(uri), 9, 4) || '-' || substr(md5(uri), 13, 4) || '-' ||
+        substr(md5(uri), 17, 4) || '-' || substr(md5(uri), 21, 12) || '>'
+        AS record_id,
+      200 AS http_status,
+      'text/html; charset=utf-8' AS mime,
+      n AS payload_bytes, clen AS warc_content_length,
+      true AS payload_identical
+    FROM h
+"""
+
+
 def _curate_oracle(quality_min: float = 0.5, threshold: float = 0.5) -> str:
     """DuckDB twin of q49: stage CTEs are the existing oracle builders
     nested as subqueries — zero shared code with the engine chain."""
@@ -1518,6 +1617,7 @@ def all_queries():
         "q49_curate_pipeline": q49_curate_pipeline,
         "q50_seen_dedup_cuckoo": q50_seen_dedup_cuckoo,
         "q51_seen_evict_ledger": q51_seen_evict_ledger,
+        "q52_warc_roundtrip": q52_warc_roundtrip,
     }
 
 
@@ -1539,4 +1639,5 @@ def all_oracles():
     out["q46_media_headers"] = _Q46_ORACLE
     out["q48_media_pixel_stats"] = _Q48_ORACLE
     out["q49_curate_pipeline"] = _curate_oracle()
+    out["q52_warc_roundtrip"] = _Q52_ORACLE
     return out

@@ -1,0 +1,356 @@
+"""WARC source/sink — Common-Crawl-style corpus ingestion (A12).
+
+The north star's corpus is "Common-Crawl-style web pages"
+(BASELINE.json input_hint); Common Crawl publishes that corpus as WARC
+(ISO 28500). This module lets the engine READ such a corpus into the
+canonical ``pages(url, warc_ts, html, ...)`` shape and WRITE one back,
+with zero third-party deps (no warcio): the record grammar is small
+enough to express exactly.
+
+Format, as implemented (public spec + Common Crawl conventions):
+
+- A record is ``WARC/1.0 CRLF`` + named header lines (must include
+  ``Content-Length``) + ``CRLF`` + content block + ``CRLF CRLF``.
+- A *response* record's content block is an HTTP/1.1 message
+  (status line + headers + CRLF + payload); the page bytes are the
+  HTTP payload, NOT the WARC content block.
+- ``.warc.gz``: each record is its OWN gzip member. The concatenation
+  is still one valid gzip stream, but any record can be read back with
+  a ranged request given (offset, length) — this is exactly how the
+  Common Crawl CDX index works, and :func:`cdx_index` /
+  :func:`read_record_at` reproduce that contract here.
+
+Scale design (100 TB):
+
+- **Parallelism unit = file.** Common Crawl splits a crawl into ~72k
+  files of ~1 GB; ``spark.read.format("binaryFile")`` lists them
+  cheaply (a metadata-only scan until the content column is touched)
+  and each file parses inside one Arrow-batched ``mapInPandas`` task.
+  No page bytes ever visit the driver.
+- ``binaryFile`` caps single files at ~2 GB — matching the upstream
+  convention of ~1 GB shards; the writer enforces shard size via
+  ``records_per_file``.
+- The writer emits deterministic bytes (gzip ``mtime=0``, fixed header
+  order, md5-derived record ids), so shards are reproducible and
+  diffable across runs — the same property FIXTURES.md demands of the
+  synthetic corpus.
+- Random access: every parsed record carries (warc_file, warc_offset,
+  warc_length); :func:`cdx_index` projects the CDX table and
+  :func:`read_record_at` performs the single-member ranged read — the
+  re-fetch path a 10^10-URL store needs when one article is requested
+  (F1/F2) without re-scanning a 1 GB shard.
+
+Driver check: q52 round-trips ``documents`` through the real encoder
+and parser; the DuckDB oracle restates every header field closed-form
+(contract.py::q52_warc_roundtrip).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import gzip
+import hashlib
+import os
+import zlib
+from collections.abc import Iterator
+from datetime import datetime, timezone
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CRLF = b"\r\n"
+WARC_VERSION = b"WARC/1.0"
+_DATE_FMT = "%Y-%m-%dT%H:%M:%SZ"
+
+# One schema string per public surface, like PAGES_SCHEMA in fixtures.py.
+READ_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, http_status int, "
+    "mime string, record_id string, warc_file string, warc_offset long, "
+    "warc_length long"
+)
+MANIFEST_SCHEMA = "warc_file string, n_records long, n_bytes long"
+CDX_SCHEMA = "url string, warc_file string, warc_offset long, warc_length long"
+
+
+def _record_uuid(key: str) -> str:
+    """Deterministic RFC-4122-shaped id from md5(key) — reproducible
+    shards need reproducible record ids (real uuid4 would break the
+    byte-identity the writer promises)."""
+    h = hashlib.md5(key.encode()).hexdigest()
+    return f"<urn:uuid:{h[0:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}>"
+
+
+def encode_response_record(
+    url: str,
+    date_iso: str,
+    payload: bytes,
+    status: int = 200,
+    mime: str = "text/html; charset=utf-8",
+) -> bytes:
+    """One WARC/1.0 response record, uncompressed. Header order fixed."""
+    http = (
+        f"HTTP/1.1 {status} OK\r\n"
+        f"Content-Type: {mime}\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode() + payload
+    headers = (
+        WARC_VERSION + CRLF
+        + b"WARC-Type: response" + CRLF
+        + b"WARC-Record-ID: " + _record_uuid(url).encode() + CRLF
+        + b"WARC-Date: " + date_iso.encode() + CRLF
+        + b"WARC-Target-URI: " + url.encode() + CRLF
+        + b"Content-Type: application/http; msgtype=response" + CRLF
+        + b"Content-Length: " + str(len(http)).encode() + CRLF
+        + CRLF
+    )
+    return headers + http + CRLF + CRLF
+
+
+def gzip_member(record: bytes) -> bytes:
+    """One record → one gzip member (mtime=0 for byte-reproducibility)."""
+    return gzip.compress(record, compresslevel=6, mtime=0)
+
+
+def iter_members(data: bytes) -> Iterator[tuple[int, int, bytes]]:
+    """Yield (offset, compressed_length, raw_record) per gzip member.
+
+    Accepts plain (uncompressed) WARC too: then the whole buffer is one
+    "member" at offset 0 and raw record splitting happens downstream.
+    A truncated trailing member is silently dropped — at 100 TB a
+    half-written shard tail must degrade to "those records are missing",
+    never fail the whole scan (same stance as store.py's torn-commit
+    rule and bucketio's torn-spec fallback).
+    """
+    if not data.startswith(b"\x1f\x8b"):
+        yield 0, len(data), data
+        return
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=31)
+        try:
+            raw = d.decompress(data[pos:])
+            raw += d.flush()
+        except zlib.error:
+            return  # truncated/corrupt tail member
+        if not d.eof:
+            return  # member ended mid-stream (truncated shard tail)
+        consumed = len(data) - pos - len(d.unused_data)
+        yield pos, consumed, raw
+        pos += consumed
+
+
+def _split_headers(block: bytes) -> tuple[dict[str, str], bytes]:
+    head, _, rest = block.partition(CRLF + CRLF)
+    headers: dict[str, str] = {}
+    for line in head.split(CRLF)[1:]:  # [0] is the version / status line
+        k, _, v = line.partition(b":")
+        if v:
+            headers[k.decode("latin-1").strip().lower()] = (
+                v.decode("latin-1").strip()
+            )
+    return headers, rest
+
+
+def parse_records(raw: bytes) -> Iterator[dict]:
+    """Parse an uncompressed byte run of ≥1 WARC records.
+
+    Yields dicts with the READ_SCHEMA fields (minus file/offset/length,
+    which only the member iterator knows). Non-response records (e.g.
+    warcinfo, request) yield with ``http_status=None`` and the raw
+    content block as ``html`` so callers can filter on warc_type.
+    """
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        # skip inter-record CRLFs
+        while raw.startswith(CRLF, pos):
+            pos += 2
+        if pos >= n:
+            return
+        if not raw.startswith(WARC_VERSION, pos):
+            return  # garbage tail — stop, records before it stand
+        head_end = raw.find(CRLF + CRLF, pos)
+        if head_end < 0:
+            return
+        headers, _ = _split_headers(raw[pos : head_end + 4])
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError):
+            return
+        content = raw[head_end + 4 : head_end + 4 + clen]
+        if len(content) < clen:
+            return  # truncated record
+        rec: dict = {
+            "warc_type": headers.get("warc-type", ""),
+            "record_id": headers.get("warc-record-id", ""),
+            "url": headers.get("warc-target-uri", ""),
+            "date": headers.get("warc-date", ""),
+            "content_length": clen,
+            "http_status": None,
+            "mime": None,
+            "html": content,
+        }
+        if rec["warc_type"] == "response" and content.startswith(b"HTTP/"):
+            status_line, _, _ = content.partition(CRLF)
+            parts = status_line.split(b" ")
+            rec["http_status"] = int(parts[1]) if len(parts) > 1 else None
+            hh, payload = _split_headers(content)
+            rec["mime"] = hh.get("content-type")
+            plen = int(hh.get("content-length", len(payload)))
+            rec["html"] = payload[:plen]
+        yield rec
+        pos = head_end + 4 + clen
+
+
+def parse_warc_bytes(data: bytes, warc_file: str = "") -> Iterator[dict]:
+    """Members → records, annotated with (warc_file, offset, length)."""
+    for off, length, raw in iter_members(data):
+        for rec in parse_records(raw):
+            rec["warc_file"] = warc_file
+            rec["warc_offset"] = off
+            rec["warc_length"] = length
+            yield rec
+
+
+# ---------------------------------------------------------------------------
+# DataFrame surfaces
+# ---------------------------------------------------------------------------
+
+
+def read_warc(
+    spark: SparkSession, path: str, responses_only: bool = True
+) -> DataFrame:
+    """``*.warc.gz`` / ``*.warc`` files → DataFrame(READ_SCHEMA).
+
+    binaryFile scan → one Arrow batch per file → pure-Python parse in
+    mapInPandas. Filters on path glob and (with AQE) file-count
+    coalescing come free; at 100 TB the job is embarrassingly parallel
+    over shards and the only driver state is the file listing.
+    """
+    files = spark.read.format("binaryFile").load(path)
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fpath, data in zip(pdf["path"], pdf["content"]):
+                for r in parse_warc_bytes(bytes(data), warc_file=fpath):
+                    if responses_only and r["warc_type"] != "response":
+                        continue
+                    rows.append(
+                        (
+                            r["url"],
+                            datetime.strptime(r["date"], _DATE_FMT).replace(
+                                tzinfo=timezone.utc
+                            ) if r["date"] else None,
+                            r["html"],
+                            r["http_status"],
+                            r["mime"],
+                            r["record_id"],
+                            r["warc_file"],
+                            r["warc_offset"],
+                            r["warc_length"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "warc_ts", "html", "http_status", "mime",
+                    "record_id", "warc_file", "warc_offset", "warc_length",
+                ],
+            )
+
+    return files.select("path", "content").mapInPandas(_parse, READ_SCHEMA)
+
+
+def write_warc(
+    df: DataFrame,
+    out_dir: str,
+    records_per_file: int = 2000,
+    status: int = 200,
+    mime: str = "text/html; charset=utf-8",
+) -> DataFrame:
+    """pages(url, warc_ts, html) → ``part-<partition>-<chunk>.warc.gz``
+    shards under ``out_dir``; returns the shard manifest (action runs on
+    collect/write of the manifest).
+
+    Executors write with plain ``open`` — correct for local mode and any
+    POSIX-shared FS (NFS/Lustre); an object-store deployment would swap
+    the two ``open`` calls for the storage client, nothing else changes.
+    Shard names are deterministic in (partition, chunk), bytes are
+    deterministic in the rows (gzip mtime=0), so re-running a failed
+    writer overwrites identical files — idempotent like the store.py
+    round commits.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        buf: list[bytes] = []
+        out: list[tuple[str, int, int]] = []
+        chunk = 0
+
+        def flush() -> None:
+            nonlocal chunk
+            if not buf:
+                return
+            name = os.path.join(out_dir, f"part-{pid:05d}-{chunk:04d}.warc.gz")
+            blob = b"".join(buf)
+            tmp = name + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, name)  # commit marker discipline: atomic publish
+            out.append((name, len(buf), len(blob)))
+            buf.clear()
+            chunk += 1
+
+        for pdf in batches:
+            for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
+                date_iso = pd.Timestamp(ts).strftime(_DATE_FMT)
+                buf.append(
+                    gzip_member(
+                        encode_response_record(
+                            url, date_iso, bytes(html), status=status, mime=mime
+                        )
+                    )
+                )
+                if len(buf) >= records_per_file:
+                    flush()
+        flush()
+        yield pd.DataFrame(out, columns=["warc_file", "n_records", "n_bytes"])
+
+    return df.select("url", "warc_ts", "html").mapInPandas(
+        _write, MANIFEST_SCHEMA
+    )
+
+
+def cdx_index(parsed: DataFrame) -> DataFrame:
+    """The CDX projection of a read_warc() frame: everything a ranged
+    re-fetch needs, and nothing blob-sized. Persist this next to the
+    shards; at 10^10 records it is the lookup table F1/F2 hit instead
+    of re-scanning shards."""
+    return parsed.select("url", "warc_file", "warc_offset", "warc_length")
+
+
+def read_record_at(warc_file: str, offset: int, length: int) -> dict:
+    """Ranged single-record read (the CDX contract): seek, read exactly
+    the member, parse. Local/POSIX path version; an object-store
+    deployment issues the equivalent byte-range GET."""
+    if warc_file.startswith("file:"):  # binaryFile reports URIs, not paths
+        warc_file = warc_file[5:]
+    with open(warc_file, "rb") as f:
+        f.seek(offset)
+        member = f.read(length)
+    recs = list(parse_warc_bytes(member, warc_file=warc_file))
+    if len(recs) != 1:
+        raise ValueError(
+            f"expected exactly 1 record at {warc_file}:{offset}+{length}, "
+            f"got {len(recs)}"
+        )
+    return recs[0]
+
+
+def list_shards(out_dir: str) -> list[str]:
+    return sorted(_glob.glob(os.path.join(out_dir, "*.warc.gz")))

@@ -1,0 +1,136 @@
+"""WARC source/sink (A12): byte-identical round trip, member framing,
+truncation tolerance, CDX ranged re-read."""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from newscrawler_spark.sources.warc import (
+    cdx_index,
+    encode_response_record,
+    gzip_member,
+    iter_members,
+    list_shards,
+    parse_records,
+    parse_warc_bytes,
+    read_record_at,
+    read_warc,
+    write_warc,
+)
+
+
+def _mk(url="https://a.example/x", date="2016-05-01T00:00:10Z",
+        payload=b"<html>hi</html>"):
+    return encode_response_record(url, date, payload)
+
+
+def test_record_roundtrip_unit():
+    rec = list(parse_records(_mk(payload=b"abc\r\n\r\ndef")))
+    assert len(rec) == 1
+    r = rec[0]
+    assert r["url"] == "https://a.example/x"
+    assert r["warc_type"] == "response"
+    assert r["http_status"] == 200
+    assert r["mime"] == "text/html; charset=utf-8"
+    # payload byte-identical even when it contains the header delimiter
+    assert r["html"] == b"abc\r\n\r\ndef"
+    assert r["record_id"].startswith("<urn:uuid:")
+
+
+def test_multi_member_and_plain():
+    a, b = _mk(url="https://a/1", payload=b"one"), _mk(url="https://a/2", payload=b"two")
+    # gzip: one member per record
+    gz = gzip_member(a) + gzip_member(b)
+    recs = list(parse_warc_bytes(gz))
+    assert [r["html"] for r in recs] == [b"one", b"two"]
+    assert recs[0]["warc_offset"] == 0
+    assert recs[1]["warc_offset"] == len(gzip_member(a))
+    # plain: concatenated uncompressed records in one "member"
+    recs2 = list(parse_warc_bytes(a + b))
+    assert [r["html"] for r in recs2] == [b"one", b"two"]
+
+
+def test_truncated_tail_degrades_not_raises():
+    a, b = _mk(url="https://a/1", payload=b"one"), _mk(url="https://a/2", payload=b"two")
+    gz = gzip_member(a) + gzip_member(b)
+    for cut in (len(gz) - 7, len(gz) - len(gzip_member(b)) + 5):
+        recs = list(parse_warc_bytes(gz[:cut]))
+        assert [r["html"] for r in recs] == [b"one"]
+    # truncated plain record: complete records before it stand
+    recs = list(parse_records(a + b[: len(b) - 10]))
+    assert [r["html"] for r in recs] == [b"one"]
+    # deterministic writer bytes (mtime pinned)
+    assert gzip_member(a) == gzip.compress(a, compresslevel=6, mtime=0)
+
+
+def test_spark_roundtrip_byte_identical(spark, smoke_pages_pd, tmp_path):
+    pages = spark.createDataFrame(smoke_pages_pd.head(120))
+    out = str(tmp_path / "warc")
+    manifest = write_warc(pages, out, records_per_file=25)
+    m = manifest.collect()
+    assert sum(r.n_records for r in m) == 120
+    assert len(list_shards(out)) == len(m)
+
+    back = read_warc(spark, out + "/*.warc.gz")
+    j = (
+        back.select("url", F.md5(F.col("html")).alias("h2"),
+                    F.col("warc_ts").alias("ts2"))
+        .join(
+            pages.select("url", F.md5(F.col("html")).alias("h1"),
+                         F.col("warc_ts").alias("ts1")),
+            "url", "full_outer",
+        )
+    )
+    assert j.where(
+        F.col("h1").isNull() | F.col("h2").isNull()
+        | (F.col("h1") != F.col("h2")) | (F.col("ts1") != F.col("ts2"))
+    ).count() == 0
+
+
+def test_cdx_ranged_reread(spark, smoke_pages_pd, tmp_path):
+    pages = spark.createDataFrame(smoke_pages_pd.head(40))
+    out = str(tmp_path / "warc")
+    write_warc(pages, out, records_per_file=10).collect()
+    parsed = read_warc(spark, out + "/*.warc.gz")
+    cdx = cdx_index(parsed)
+    assert cdx.columns == ["url", "warc_file", "warc_offset", "warc_length"]
+    rows = cdx.orderBy("url").limit(5).collect()
+    want = {
+        r["url"]: hashlib.md5(bytes(r["html"])).hexdigest()
+        for r in parsed.where(
+            F.col("url").isin([x.url for x in rows])
+        ).collect()
+    }
+    for x in rows:
+        rec = read_record_at(x.warc_file, x.warc_offset, x.warc_length)
+        assert rec["url"] == x.url
+        assert hashlib.md5(rec["html"]).hexdigest() == want[x.url]
+
+
+def test_read_record_at_rejects_multi(tmp_path):
+    gz = gzip_member(_mk(url="https://a/1")) + gzip_member(_mk(url="https://a/2"))
+    p = tmp_path / "two.warc.gz"
+    p.write_bytes(gz)
+    with pytest.raises(ValueError):
+        read_record_at(str(p), 0, len(gz))
+
+
+def test_non_response_records_filtered(spark, tmp_path):
+    info = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+        b"WARC-Record-ID: <urn:uuid:0>\r\n"
+        b"WARC-Date: 2016-05-01T00:00:00Z\r\n"
+        b"Content-Type: application/warc-fields\r\n"
+        b"Content-Length: 9\r\n\r\nsoftware\n\r\n\r\n"
+    )
+    blob = gzip_member(info) + gzip_member(_mk(url="https://a/only"))
+    p = tmp_path / "mix.warc.gz"
+    p.write_bytes(blob)
+    df = read_warc(spark, str(p))
+    assert [r.url for r in df.collect()] == ["https://a/only"]
+    both = read_warc(spark, str(p), responses_only=False)
+    assert both.count() == 2
