@@ -23,9 +23,32 @@ import argparse
 import json
 
 
+def load_pages(spark, path: str, fmt: str = "auto"):
+    """--pages loader: parquet or Common-Crawl-style WARC shards.
+
+    ``auto`` picks WARC when the path names ``.warc``/``.warc.gz`` files
+    (extension or glob) — works for object-store URIs without listing.
+    A directory of shards reads as ``<dir>/*.warc.gz``.
+    """
+    if fmt == "auto":
+        fmt = "warc" if ".warc" in path.rsplit("/", 1)[-1] else "parquet"
+    if fmt == "warc":
+        from newscrawler_spark.sources.warc import pages_from_warc
+
+        pat = path if ".warc" in path.rsplit("/", 1)[-1] \
+            else path.rstrip("/") + "/*.warc.gz"
+        return pages_from_warc(spark, pat)
+    return spark.read.parquet(path)
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="newscrawler_spark crawl job")
-    p.add_argument("--pages", required=True, help="pages parquet path / table")
+    p.add_argument("--pages", required=True,
+                   help="pages corpus: parquet path/table or WARC shards")
+    p.add_argument("--pages-format", default="auto",
+                   choices=["auto", "parquet", "warc"],
+                   help="corpus format (auto: WARC iff the path names "
+                        ".warc/.warc.gz files)")
     p.add_argument("--seeds", required=True, help="seeds parquet path")
     p.add_argument("--state-dir", required=True)
     p.add_argument("--max-rounds", type=int, default=100)
@@ -63,7 +86,7 @@ def main(argv=None) -> None:
         compact_seen_every=args.compact_seen_every,
         bloom_min_seen_rows=args.bloom_min_seen_rows,
     )
-    pages = spark.read.parquet(args.pages)
+    pages = load_pages(spark, args.pages, args.pages_format)
     seeds = spark.read.parquet(args.seeds)
     res = run_crawl(
         spark, pages, seeds, args.state_dir, cfg,

@@ -65,9 +65,9 @@ _DATE_FMT = "%Y-%m-%dT%H:%M:%SZ"
 
 # One schema string per public surface, like PAGES_SCHEMA in fixtures.py.
 READ_SCHEMA = (
-    "url string, warc_ts timestamp, html binary, http_status int, "
-    "mime string, record_id string, warc_file string, warc_offset long, "
-    "warc_length long"
+    "url string, warc_ts timestamp, html binary, lang string, "
+    "http_status int, mime string, record_id string, warc_file string, "
+    "warc_offset long, warc_length long"
 )
 MANIFEST_SCHEMA = "warc_file string, n_records long, n_bytes long"
 CDX_SCHEMA = "url string, warc_file string, warc_offset long, warc_length long"
@@ -87,8 +87,14 @@ def encode_response_record(
     payload: bytes,
     status: int = 200,
     mime: str = "text/html; charset=utf-8",
+    lang: str | None = None,
 ) -> bytes:
-    """One WARC/1.0 response record, uncompressed. Header order fixed."""
+    """One WARC/1.0 response record, uncompressed. Header order fixed.
+
+    ``lang`` emits ``WARC-Identified-Content-Language`` — the extension
+    header Common Crawl stamps on response records since 2018 — so a
+    language column survives the round trip without touching payloads.
+    """
     http = (
         f"HTTP/1.1 {status} OK\r\n"
         f"Content-Type: {mime}\r\n"
@@ -100,6 +106,10 @@ def encode_response_record(
         + b"WARC-Record-ID: " + _record_uuid(url).encode() + CRLF
         + b"WARC-Date: " + date_iso.encode() + CRLF
         + b"WARC-Target-URI: " + url.encode() + CRLF
+        + (
+            b"WARC-Identified-Content-Language: " + lang.encode() + CRLF
+            if lang else b""
+        )
         + b"Content-Type: application/http; msgtype=response" + CRLF
         + b"Content-Length: " + str(len(http)).encode() + CRLF
         + CRLF
@@ -186,6 +196,7 @@ def parse_records(raw: bytes) -> Iterator[dict]:
             "record_id": headers.get("warc-record-id", ""),
             "url": headers.get("warc-target-uri", ""),
             "date": headers.get("warc-date", ""),
+            "lang": headers.get("warc-identified-content-language"),
             "content_length": clen,
             "http_status": None,
             "mime": None,
@@ -244,6 +255,7 @@ def read_warc(
                                 tzinfo=timezone.utc
                             ) if r["date"] else None,
                             r["html"],
+                            r["lang"],
                             r["http_status"],
                             r["mime"],
                             r["record_id"],
@@ -255,7 +267,7 @@ def read_warc(
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "url", "warc_ts", "html", "http_status", "mime",
+                    "url", "warc_ts", "html", "lang", "http_status", "mime",
                     "record_id", "warc_file", "warc_offset", "warc_length",
                 ],
             )
@@ -307,12 +319,16 @@ def write_warc(
             chunk += 1
 
         for pdf in batches:
-            for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
+            langs = pdf["lang"] if "lang" in pdf else [None] * len(pdf)
+            for url, ts, html, lang in zip(
+                pdf["url"], pdf["warc_ts"], pdf["html"], langs
+            ):
                 date_iso = pd.Timestamp(ts).strftime(_DATE_FMT)
                 buf.append(
                     gzip_member(
                         encode_response_record(
-                            url, date_iso, bytes(html), status=status, mime=mime
+                            url, date_iso, bytes(html), status=status,
+                            mime=mime, lang=lang if pd.notna(lang) else None,
                         )
                     )
                 )
@@ -321,9 +337,18 @@ def write_warc(
         flush()
         yield pd.DataFrame(out, columns=["warc_file", "n_records", "n_bytes"])
 
-    return df.select("url", "warc_ts", "html").mapInPandas(
-        _write, MANIFEST_SCHEMA
-    )
+    cols = ["url", "warc_ts", "html"] + (["lang"] if "lang" in df.columns else [])
+    return df.select(*cols).mapInPandas(_write, MANIFEST_SCHEMA)
+
+
+def pages_from_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC shards → the canonical ``pages`` projection the crawl
+    consumes (runner.run_crawl / enrich_pages): a Common-Crawl-style
+    corpus IS a valid corpus for the whole engine, no parquet staging.
+    (``text`` — the fixtures' designed ground-truth column — has no WARC
+    analog; extraction derives article text from html, so the crawl
+    never reads it.)"""
+    return read_warc(spark, path).select("url", "warc_ts", "html", "lang")
 
 
 def cdx_index(parsed: DataFrame) -> DataFrame:

@@ -119,6 +119,94 @@ def test_read_record_at_rejects_multi(tmp_path):
         read_record_at(str(p), 0, len(gz))
 
 
+def test_lang_header_roundtrip(spark, smoke_pages_pd, tmp_path):
+    pages = spark.createDataFrame(smoke_pages_pd.head(30))
+    assert pages.where(F.col("lang").isNotNull()).count() == 30
+    out = str(tmp_path / "warc")
+    write_warc(pages, out, records_per_file=10).collect()
+    back = read_warc(spark, out + "/*.warc.gz")
+    j = back.select("url", F.col("lang").alias("l2")).join(
+        pages.select("url", F.col("lang").alias("l1")), "url", "full_outer"
+    )
+    assert j.where(
+        F.col("l1").isNull() | F.col("l2").isNull()
+        | (F.col("l1") != F.col("l2"))
+    ).count() == 0
+    # a record written without the header parses lang as null
+    rec = list(parse_records(_mk()))[0]
+    assert rec["lang"] is None
+    # and a frame without a lang column still writes (header omitted)
+    out2 = str(tmp_path / "warc2")
+    write_warc(pages.drop("lang").limit(5), out2).collect()
+    assert read_warc(spark, out2 + "/*.warc.gz").where(
+        F.col("lang").isNotNull()
+    ).count() == 0
+
+
+def test_pages_from_warc_is_a_crawlable_corpus(spark, smoke_pages_pd, tmp_path):
+    """A Common-Crawl-style WARC directory is a valid corpus for the
+    engine's own prep stage — no parquet staging step in between."""
+    from newscrawler_spark.runner import enrich_pages
+    from newscrawler_spark.sources.warc import pages_from_warc
+
+    pages = spark.createDataFrame(smoke_pages_pd.head(50))
+    out = str(tmp_path / "warc")
+    write_warc(pages, out, records_per_file=20).collect()
+    corpus = pages_from_warc(spark, out + "/*.warc.gz")
+    assert corpus.columns == ["url", "warc_ts", "html", "lang"]
+    e = enrich_pages(corpus)
+    got = {
+        r["url"]: (r["url_hash"], r["host"], r["html_bytes"], r["lang"])
+        for r in e.collect()
+    }
+    want = enrich_pages(pages.select("url", "warc_ts", "html", "lang"))
+    for r in want.collect():
+        assert got[r["url"]] == (
+            r["url_hash"], r["host"], r["html_bytes"], r["lang"]
+        )
+
+
+@pytest.mark.slow
+def test_crawl_over_warc_corpus_identical(spark, smoke_pages, smoke_seeds,
+                                          tmp_path):
+    """North-star shape: the crawl runs DIRECTLY over Common-Crawl-style
+    WARC shards and produces the identical fetch log, seen set, and
+    extracted article text as the same corpus served from parquet."""
+    import tempfile
+
+    from newscrawler_spark.config import CrawlConfig
+    from newscrawler_spark.runner import run_crawl
+    from newscrawler_spark.sources.warc import pages_from_warc
+
+    out = str(tmp_path / "warc")
+    write_warc(smoke_pages, out, records_per_file=100).collect()
+    corpus = pages_from_warc(spark, out + "/*.warc.gz")
+
+    cfg = CrawlConfig(per_host_budget=8)
+
+    def crawl(pages):
+        with tempfile.TemporaryDirectory() as d:
+            res = run_crawl(spark, pages, smoke_seeds, d, cfg, max_rounds=3)
+            log = [
+                (r.fetch_round, r.host, r.rank_in_host, r.url_canon)
+                for r in res.state.read_fetch_log()
+                .orderBy("fetch_round", "host", "rank_in_host").collect()
+            ]
+            seen = {r.url_hash for r in res.state.read_seen().collect()}
+            arts = {
+                r.url_canon: (r.article_title, r.article_text,
+                              r.article_language)
+                for r in res.state.read_articles().collect()
+            }
+            return log, seen, arts
+
+    log_w, seen_w, arts_w = crawl(corpus)
+    log_p, seen_p, arts_p = crawl(smoke_pages)
+    assert log_w == log_p and len(log_w) > 0
+    assert seen_w == seen_p
+    assert arts_w == arts_p and len(arts_w) > 0
+
+
 def test_non_response_records_filtered(spark, tmp_path):
     info = (
         b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
