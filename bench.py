@@ -52,6 +52,10 @@ BENCH_QUERIES = [
     # gate → MinHash-LSH near-dup removal) and the cuckoo seen-filter
     "q49_curate_pipeline",
     "q50_seen_dedup_cuckoo",
+    # r4: WARC shard encode->parse round trip (the Common-Crawl ingest path)
+    "q52_warc_roundtrip",
+    # r4: CDX ranged subset fetch (the 0.1%-of-100TB recrawl path)
+    "q53_cdx_ranged_fetch",
 ]
 
 

@@ -1065,6 +1065,99 @@ _Q52_ORACLE = """
 """
 
 
+def q53_cdx_ranged_fetch(spark, sf_dir):
+    """A12 scale path (sources/warc.py::read_ranged): fetch a 1-in-7
+    subset of a WARC archive by CDX index with RANGED reads only — at
+    10^10 records a recrawl/re-extract touches ~0.1% of the archive and
+    must not rescan shards. Shards are built once per sf_dir from
+    ``documents`` by the REAL writer (write_warc, lang header included),
+    indexed by the REAL reader (read_warc → cdx_index); the query then
+    ranged-reads only the subset members (one seek+read per member,
+    same-file requests co-partitioned and offset-sorted) and proves
+    payload/lang byte-identity against the source table. The DuckDB
+    oracle restates the subset closed-form — uri/record-id formulas as
+    in q52 — sharing zero framing or read-path code."""
+    import shutil
+
+    from newscrawler_spark.sources.warc import (
+        cdx_index,
+        read_ranged,
+        read_warc,
+        write_warc,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    d = os.path.join(FIXTURES, "warcdocs", tag)
+    marker = os.path.join(d, "_WARC_DOCS_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        pages = docs.select(
+            F.concat(
+                F.lit("https://warc.invalid/"), "source", F.lit("/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+            F.timestamp_seconds(
+                F.unix_timestamp(F.lit("2016-05-01 00:00:00"))
+                + F.col("doc_id")
+            ).alias("warc_ts"),
+            F.encode("text", "UTF-8").alias("html"),
+            "lang",
+        )
+        write_warc(pages, d, records_per_file=64).collect()
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    cdx = cdx_index(read_warc(spark, d + "/*.warc.gz")).withColumn(
+        "doc_id", F.regexp_extract("url", r"/(\d+)$", 1).cast("long")
+    )
+    sub = cdx.where(F.pmod("doc_id", F.lit(7)) == 0)
+    fetched = read_ranged(
+        spark, sub.select("warc_file", "warc_offset", "warc_length")
+    ).withColumn(
+        "doc_id", F.regexp_extract("url", r"/(\d+)$", 1).cast("long")
+    )
+    return fetched.join(
+        docs.select("doc_id", "text", F.col("lang").alias("lang_src")),
+        "doc_id",
+    ).select(
+        "doc_id",
+        F.col("url").alias("target_uri"),
+        "record_id",
+        "http_status",
+        "mime",
+        F.length("html").cast("long").alias("payload_bytes"),
+        (F.col("html") == F.encode("text", "UTF-8")).alias(
+            "payload_identical"),
+        (F.col("lang") == F.col("lang_src")).alias("lang_identical"),
+    )
+
+
+_Q53_ORACLE = """
+    SELECT doc_id,
+      'https://warc.invalid/' || source || '/' || doc_id AS target_uri,
+      '<urn:uuid:' ||
+        substr(md5('https://warc.invalid/' || source || '/' || doc_id), 1, 8)
+        || '-' ||
+        substr(md5('https://warc.invalid/' || source || '/' || doc_id), 9, 4)
+        || '-' ||
+        substr(md5('https://warc.invalid/' || source || '/' || doc_id), 13, 4)
+        || '-' ||
+        substr(md5('https://warc.invalid/' || source || '/' || doc_id), 17, 4)
+        || '-' ||
+        substr(md5('https://warc.invalid/' || source || '/' || doc_id), 21, 12)
+        || '>' AS record_id,
+      200 AS http_status,
+      'text/html; charset=utf-8' AS mime,
+      octet_length(encode(text)) AS payload_bytes,
+      true AS payload_identical,
+      true AS lang_identical
+    FROM documents
+    WHERE doc_id % 7 = 0
+"""
+
+
 def _curate_oracle(quality_min: float = 0.5, threshold: float = 0.5) -> str:
     """DuckDB twin of q49: stage CTEs are the existing oracle builders
     nested as subqueries — zero shared code with the engine chain."""
@@ -1618,6 +1711,7 @@ def all_queries():
         "q50_seen_dedup_cuckoo": q50_seen_dedup_cuckoo,
         "q51_seen_evict_ledger": q51_seen_evict_ledger,
         "q52_warc_roundtrip": q52_warc_roundtrip,
+        "q53_cdx_ranged_fetch": q53_cdx_ranged_fetch,
     }
 
 
@@ -1640,4 +1734,5 @@ def all_oracles():
     out["q48_media_pixel_stats"] = _Q48_ORACLE
     out["q49_curate_pipeline"] = _curate_oracle()
     out["q52_warc_roundtrip"] = _Q52_ORACLE
+    out["q53_cdx_ranged_fetch"] = _Q53_ORACLE
     return out

@@ -111,6 +111,39 @@ def test_cdx_ranged_reread(spark, smoke_pages_pd, tmp_path):
         assert hashlib.md5(rec["html"]).hexdigest() == want[x.url]
 
 
+def test_read_ranged_distributed(spark, smoke_pages_pd, tmp_path):
+    """Distributed CDX ranged fetch ≡ full-scan-then-filter, for a
+    subset spanning several shards."""
+    from newscrawler_spark.sources.warc import read_ranged
+
+    pages = spark.createDataFrame(smoke_pages_pd.head(60))
+    out = str(tmp_path / "warc")
+    write_warc(pages, out, records_per_file=13).collect()
+    parsed = read_warc(spark, out + "/*.warc.gz")
+    sub = cdx_index(parsed).where(
+        F.pmod(F.xxhash64("url"), F.lit(3)) == 0
+    )
+    n_sub = sub.count()
+    assert 0 < n_sub < 60
+    assert sub.select("warc_file").distinct().count() > 1
+
+    fetched = read_ranged(
+        spark, sub.select("warc_file", "warc_offset", "warc_length")
+    )
+    key = ["url", "record_id", "lang", "h", "ts"]
+
+    def proj(df):
+        return df.select(
+            "url", "record_id", "lang",
+            F.md5("html").alias("h"), F.col("warc_ts").alias("ts"),
+        )
+
+    want = proj(parsed.join(sub.select("url"), "url", "left_semi"))
+    assert fetched.count() == n_sub
+    assert proj(fetched).join(want, key, "left_anti").count() == 0
+    assert want.join(proj(fetched), key, "left_anti").count() == 0
+
+
 def test_read_record_at_rejects_multi(tmp_path):
     gz = gzip_member(_mk(url="https://a/1")) + gzip_member(_mk(url="https://a/2"))
     p = tmp_path / "two.warc.gz"
