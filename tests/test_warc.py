@@ -7,6 +7,8 @@ import gzip
 import hashlib
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from newscrawler_spark.sources.warc import (
@@ -109,6 +111,47 @@ def test_cdx_ranged_reread(spark, smoke_pages_pd, tmp_path):
         rec = read_record_at(x.warc_file, x.warc_offset, x.warc_length)
         assert rec["url"] == x.url
         assert hashlib.md5(rec["html"]).hexdigest() == want[x.url]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    payloads=st.lists(
+        st.binary(min_size=0, max_size=400), min_size=1, max_size=6
+    ),
+    urls=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="ascii", min_codepoint=33, max_codepoint=126
+            ),
+            min_size=1, max_size=40,
+        ),
+        min_size=6, max_size=6,
+    ),
+    lang=st.sampled_from([None, "eng", "deu,eng"]),
+)
+def test_framing_property_roundtrip(payloads, urls, lang):
+    """Any payload bytes — including ones embedding the CRLFCRLF header
+    delimiter, gzip magic, or WARC/1.0 banners — survive encode → gzip
+    member concat → parse byte-identically, in order, with headers
+    recovered."""
+    recs = [
+        encode_response_record(
+            "https://p.example/" + u, "2016-05-01T00:00:10Z", body,
+            lang=lang,
+        )
+        for u, body in zip(urls, payloads)
+    ]
+    blob = b"".join(gzip_member(r) for r in recs)
+    out = list(parse_warc_bytes(blob))
+    assert [r["html"] for r in out] == payloads
+    assert [r["url"] for r in out] == [
+        "https://p.example/" + u for u in urls[: len(payloads)]
+    ]
+    for r in out:
+        assert r["http_status"] == 200 and r["lang"] == lang
+    # plain (uncompressed) concatenation parses identically
+    out2 = list(parse_records(b"".join(recs)))
+    assert [r["html"] for r in out2] == payloads
 
 
 def test_read_ranged_distributed(spark, smoke_pages_pd, tmp_path):
