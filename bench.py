@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "q52_warc_roundtrip",
     # r4: CDX ranged subset fetch (the 0.1%-of-100TB recrawl path)
     "q53_cdx_ranged_fetch",
+    # r4: real-pixel nearest-neighbor thumbnails (multimodal resize)
+    "q54_media_resize",
 ]
 
 

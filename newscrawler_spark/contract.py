@@ -877,6 +877,75 @@ _Q48_ORACLE = """
 """
 
 
+def q54_media_resize(spark, sf_dir):
+    """Multimodal RESIZE (operators/multimodal.py::resize_media):
+    nearest-neighbor 8×6 grayscale thumbnails computed from REAL decoded
+    pixels (PNG inflate+unfilter, GIF LZW, BMP raw rows flipped to image
+    orientation; gray = (c0+c1+c2)//3). The oracle regenerates every
+    sampled pixel closed-form from the fixture fill rules — src=(dst·in)//out
+    sampling, the BMP bottom-up flip, and the //3 gray rule restated in
+    SQL — and recomputes sum/mean/corners and an order-pinning checksum
+    Σ v_i·(i+1), sharing zero decode/resize code. ``pixels`` (the raw
+    thumb bytes) is contract-dropped (SQL can't build blobs) but is
+    byte-asserted in tests/test_multimodal.py."""
+    from newscrawler_spark.operators.multimodal import (
+        gen_filled_media,
+        resize_media,
+    )
+
+    return resize_media(gen_filled_media(spark, 60), out_w=8, out_h=6).drop(
+        "pixels"
+    )
+
+
+_Q54_ORACLE = """
+    WITH d AS (SELECT i FROM generate_series(0, 59) t(i)),
+    dims AS (
+      SELECT i,
+        CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                   ELSE 'video' END AS kind,
+        CASE i % 3
+            WHEN 0 THEN list_extract(['png', 'gif', 'bmp', 'jpeg'],
+                                     ((i // 3) % 4) + 1)
+            WHEN 1 THEN 'wav/pcm' ELSE 'mp4' END AS codec,
+        16 + i % 97 AS w, 16 + (i * 7) % 59 AS h
+      FROM d),
+    us AS (SELECT i, codec, w, h, unnest(generate_series(0, 7)) AS u
+           FROM dims WHERE kind = 'image' AND codec <> 'jpeg'),
+    grid AS (SELECT i, codec, w, h, u, unnest(generate_series(0, 5)) AS v
+             FROM us),
+    px AS (
+      SELECT i, u, v,
+        CASE codec
+          WHEN 'png' THEN (sx + 2*sy + i) % 251
+          WHEN 'gif' THEN 60*((sx + sy + i) % 4) + 10
+          ELSE CASE WHEN b <= 248 THEN b + 1
+                    WHEN b = 249 THEN 166 ELSE 83 END
+        END AS val
+      FROM (SELECT *, ((u * w) // 8) AS sx, ((v * h) // 6) AS sy,
+                   (3*((u * w) // 8) + 7*(h - 1 - ((v * h) // 6)) + i) % 251
+                     AS b
+            FROM grid) q),
+    s AS (
+      SELECT i,
+        MAX(CASE WHEN u = 0 AND v = 0 THEN val END) AS p_first,
+        MAX(CASE WHEN u = 7 AND v = 5 THEN val END) AS p_last,
+        SUM(val) AS p_sum,
+        SUM(val * (v*8 + u + 1)) AS p_checksum
+      FROM px GROUP BY i)
+    SELECT dims.i AS media_id, dims.kind, dims.codec,
+      CASE WHEN dims.kind = 'image' THEN CAST(dims.w AS INTEGER) END AS in_w,
+      CASE WHEN dims.kind = 'image' THEN CAST(dims.h AS INTEGER) END AS in_h,
+      8 AS out_w, 6 AS out_h,
+      CAST(s.p_first AS INTEGER) AS p_first,
+      CAST(s.p_last AS INTEGER) AS p_last,
+      CAST(s.p_sum AS BIGINT) AS p_sum,
+      CAST(s.p_sum AS DOUBLE) / 48 AS p_mean,
+      CAST(s.p_checksum AS BIGINT) AS p_checksum
+    FROM dims LEFT JOIN s ON dims.i = s.i
+"""
+
+
 def q49_curate_pipeline(spark, sf_dir):
     """The COMPOSED curation chain (operators/curate.py): exact dedup →
     quality gate (score ≥ 0.5) → MinHash-LSH near-dup removal
@@ -1712,6 +1781,7 @@ def all_queries():
         "q51_seen_evict_ledger": q51_seen_evict_ledger,
         "q52_warc_roundtrip": q52_warc_roundtrip,
         "q53_cdx_ranged_fetch": q53_cdx_ranged_fetch,
+        "q54_media_resize": q54_media_resize,
     }
 
 
@@ -1735,4 +1805,5 @@ def all_oracles():
     out["q49_curate_pipeline"] = _curate_oracle()
     out["q52_warc_roundtrip"] = _Q52_ORACLE
     out["q53_cdx_ranged_fetch"] = _Q53_ORACLE
+    out["q54_media_resize"] = _Q54_ORACLE
     return out

@@ -251,6 +251,89 @@ def extract_features(media: DataFrame, fake: bool = False,
     )
 
 
+RESIZE_SCHEMA = (
+    "media_id long, kind string, codec string, in_w int, in_h int, "
+    "out_w int, out_h int, pixels binary, p_first int, p_last int, "
+    "p_sum long, p_mean double, p_checksum long"
+)
+
+
+def _gray_matrix(codec: str, blob: bytes, w: int, h: int):
+    """Top-down (h, w) int64 grayscale matrix for the REAL decode tier,
+    or None. Gray rule for RGB formats: (c0+c1+c2) // 3 per pixel; BMP
+    file rows (stored bottom-up) are flipped to image orientation."""
+    from newscrawler_spark.functions import media_pixels as mp
+
+    if codec == "png":
+        flat = mp.decode_png_gray(blob)
+        return None if flat is None else flat.reshape(h, w).astype(np.int64)
+    if codec in ("gif", "bmp"):
+        dec = mp.decode_gif_pixels if codec == "gif" else mp.decode_bmp_pixels
+        flat = dec(blob)
+        if flat is None:
+            return None
+        gray = flat.reshape(h, w, 3).astype(np.int64).sum(axis=2) // 3
+        return gray[::-1] if codec == "bmp" else gray
+    return None
+
+
+def resize_media(media: DataFrame, out_w: int = 8, out_h: int = 6) -> DataFrame:
+    """Nearest-neighbor grayscale thumbnails over the REAL pixel decode
+    tier (the multimodal 'resize' op): exact integer sampling
+    ``src = (dst * in) // out`` on the top-down gray matrix, so every
+    output byte is closed-form recomputable from the fixture fill rules
+    (driver q54). ``pixels`` is the row-major out_h×out_w uint8 thumb;
+    ``p_checksum = Σ v_i·(i+1)`` pins byte order, ``p_first``/``p_last``
+    the corners. Formats needing codec libs (JPEG) and non-images keep
+    their codec label with null pixels/stats — never a raise.
+
+    Scale shape: identical to media_stats — blobs cross Arrow once,
+    per-row numpy kernel, no shuffle, fixed out_w·out_h bytes out."""
+    from newscrawler_spark.functions import media_headers as mh
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, kind, blob in zip(pdf["media_id"], pdf["kind"],
+                                       pdf["bytes"]):
+                blob = bytes(blob)
+                codec = in_w = in_h = None
+                px = pf = pl = ps = pm = pc = None
+                if kind == "image":
+                    in_w, in_h, codec = mh.parse_image(blob)
+                    img = (
+                        _gray_matrix(codec, blob, in_w, in_h)
+                        if codec in ("png", "gif", "bmp")
+                        and in_w and in_h else None
+                    )
+                    if img is not None:
+                        thumb = img[np.ix_(
+                            (np.arange(out_h) * in_h) // out_h,
+                            (np.arange(out_w) * in_w) // out_w,
+                        )]
+                        flat = thumb.reshape(-1)
+                        px = flat.astype(np.uint8).tobytes()
+                        pf, pl = int(flat[0]), int(flat[-1])
+                        ps = int(flat.sum())
+                        pm = ps / flat.size
+                        pc = int((flat * np.arange(1, flat.size + 1)).sum())
+                elif kind == "audio":
+                    _d, _c, _r, codec = mh.parse_wav(blob)
+                elif kind == "video":
+                    codec = "mp4" if blob[4:8] == b"ftyp" else None
+                rows.append((mid, kind, codec, in_w, in_h, out_w, out_h,
+                             px, pf, pl, ps, pm, pc))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "codec", "in_w", "in_h", "out_w",
+                "out_h", "pixels", "p_first", "p_last", "p_sum", "p_mean",
+                "p_checksum",
+            ])
+
+    return media.select("media_id", "kind", "bytes").mapInPandas(
+        batches, schema=RESIZE_SCHEMA
+    )
+
+
 def frame_sample_plan(decoded: DataFrame, every_n: int = 25) -> DataFrame:
     """Video frame-sampling plan: one row per sampled frame index —
     pure-native explode over a sequence (the decode of sampled frames

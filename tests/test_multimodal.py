@@ -227,3 +227,66 @@ def test_blob_pruned_downstream(spark, media):
     assert "bytes" not in feats.columns
     plan = feats.select("media_id", "feature")._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan or "FlatMapsInPandas" in plan or "MapInPandas" in plan
+
+
+def test_resize_media_exact_bytes(spark):
+    """8x6 nearest-neighbor thumbs match the closed-form fill rules
+    byte-for-byte (PNG gray, GIF palette gray, BMP with bottom-up flip);
+    JPEG keeps dims with null pixels; audio/video keep codec only."""
+    from newscrawler_spark.operators.multimodal import (
+        gen_filled_media,
+        resize_media,
+    )
+
+    out = resize_media(gen_filled_media(spark, n=12), out_w=8, out_h=6)
+    rows = {r.media_id: r for r in out.collect()}
+    assert len(rows) == 12
+
+    def dims(i):
+        return 16 + i % 97, 16 + (i * 7) % 59
+
+    def thumb(i, val):
+        w, h = dims(i)
+        return bytes(
+            val(i, (u * w) // 8, (v * h) // 6)
+            for v in range(6) for u in range(8)
+        )
+
+    def bmp_gray(i, sx, sy):
+        _w, h = dims(i)
+        b = (3 * sx + 7 * (h - 1 - sy) + i) % 251
+        return b + 1 if b <= 248 else (166 if b == 249 else 83)
+
+    exp = {
+        0: thumb(0, lambda i, sx, sy: (sx + 2 * sy + i) % 251),       # png
+        3: thumb(3, lambda i, sx, sy: 60 * ((sx + sy + i) % 4) + 10),  # gif
+        6: thumb(6, bmp_gray),                                         # bmp
+    }
+    for i, want in exp.items():
+        r = rows[i]
+        assert bytes(r.pixels) == want, i
+        assert (r.p_first, r.p_last) == (want[0], want[-1])
+        assert r.p_sum == sum(want)
+        assert r.p_checksum == sum(v * (k + 1) for k, v in enumerate(want))
+        assert r.p_mean == sum(want) / 48
+        assert (r.in_w, r.in_h) == dims(i)
+    jpeg = rows[9]
+    assert jpeg.codec == "jpeg" and jpeg.pixels is None
+    assert (jpeg.in_w, jpeg.in_h) == dims(9)
+    assert rows[1].codec == "wav/pcm" and rows[1].pixels is None
+    assert rows[2].codec == "mp4" and rows[2].pixels is None
+
+
+def test_resize_media_malformed_blobs_null(spark):
+    """Garbage bytes yield null pixels, never a raise."""
+    from newscrawler_spark.operators.multimodal import resize_media
+
+    junk = spark.createDataFrame(
+        [(1, "image", b"\x89PNG\r\n\x1a\nnot-really"),
+         (2, "image", b"GIF89a\x02\x00"), (3, "audio", b"RIFFxxxx"),
+         (4, "video", b"\x00\x00\x00\x00zzzz")],
+        "media_id long, kind string, bytes binary",
+    )
+    got = {r.media_id: r for r in resize_media(junk).collect()}
+    assert len(got) == 4
+    assert all(r.pixels is None and r.p_sum is None for r in got.values())
