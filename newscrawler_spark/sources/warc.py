@@ -240,18 +240,25 @@ def read_warc(
     over shards and the only driver state is the file listing.
     """
     files = spark.read.format("binaryFile").load(path)
+    return files.select("path", "content").mapInPandas(
+        lambda it: _parse_shard_batches(it, responses_only), READ_SCHEMA
+    )
 
-    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for fpath, data in zip(pdf["path"], pdf["content"]):
-                for r in parse_warc_bytes(bytes(data), warc_file=fpath):
-                    if responses_only and r["warc_type"] != "response":
-                        continue
-                    rows.append(_record_row(r))
-            yield pd.DataFrame(rows, columns=_RECORD_COLS)
 
-    return files.select("path", "content").mapInPandas(_parse, READ_SCHEMA)
+def _parse_shard_batches(
+    batches: Iterator[pd.DataFrame], responses_only: bool = True
+) -> Iterator[pd.DataFrame]:
+    """(path, content) Arrow batches → READ_SCHEMA record batches —
+    shared by the batch reader and the streaming ingest (one parser,
+    the two paths cannot drift)."""
+    for pdf in batches:
+        rows = []
+        for fpath, data in zip(pdf["path"], pdf["content"]):
+            for r in parse_warc_bytes(bytes(data), warc_file=fpath):
+                if responses_only and r["warc_type"] != "response":
+                    continue
+                rows.append(_record_row(r))
+        yield pd.DataFrame(rows, columns=_RECORD_COLS)
 
 
 _RECORD_COLS = [
