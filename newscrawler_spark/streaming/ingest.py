@@ -29,6 +29,7 @@ def stream_warc_ingest(
     checkpoint_dir: str,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    provenance: bool = True,
 ):
     """Start the ingest query; returns the StreamingQuery.
 
@@ -36,6 +37,12 @@ def stream_warc_ingest(
     ``(url, warc_ts, html, lang)`` — the same frame `pages_from_warc`
     produces in batch, so `spark.read.parquet(out_dir)` is a valid
     corpus for `runner.run_crawl` with no further staging.
+
+    ``provenance=True`` (default) keeps the record's WARC coordinates
+    ``(warc_file, warc_offset, warc_length)`` as three cheap extra
+    columns — a built-in CDX: any later recrawl/re-extract can
+    `sources.warc.read_ranged` the ORIGINAL bytes straight from the
+    landing shards without rescanning them.
     """
     from newscrawler_spark.sources.warc import (
         READ_SCHEMA,
@@ -53,7 +60,10 @@ def stream_warc_ingest(
     recs = files.select("path", "content").mapInPandas(
         lambda it: _parse_shard_batches(it), READ_SCHEMA
     )
-    pages = recs.select("url", "warc_ts", "html", "lang")
+    cols = ["url", "warc_ts", "html", "lang"] + (
+        ["warc_file", "warc_offset", "warc_length"] if provenance else []
+    )
+    pages = recs.select(*cols)
 
     writer = (
         pages.writeStream.format("parquet")

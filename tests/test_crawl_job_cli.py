@@ -66,3 +66,38 @@ def test_spark_submit_py_files_run(spark, tmp_path):
     summary = json.loads(line)
     assert summary["rounds_run"] == 2
     assert summary["urls_fetched"] > 0
+
+
+def test_ingest_job_parse_args():
+    from jobs.ingest_job import parse_args
+
+    a = parse_args([
+        "--shards", "/land", "--out", "/corpus",
+        "--checkpoint-dir", "/ck", "--max-files-per-trigger", "8",
+    ])
+    assert (a.shards, a.out, a.checkpoint_dir) == ("/land", "/corpus", "/ck")
+    assert a.max_files_per_trigger == 8
+    assert not a.continuous and not a.no_provenance
+
+
+def test_ingest_job_main_runs(spark, smoke_pages_pd, tmp_path):
+    """main() end-to-end on a local landing dir (same code path
+    spark-submit executes, minus the JVM respawn)."""
+    import json as _json
+
+    from newscrawler_spark.sources.warc import write_warc
+    from jobs.ingest_job import main
+
+    pages = spark.createDataFrame(smoke_pages_pd.head(25))
+    land = str(tmp_path / "land")
+    write_warc(pages, land, records_per_file=10).collect()
+    out = str(tmp_path / "corpus")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main(["--shards", land, "--out", out,
+              "--checkpoint-dir", str(tmp_path / "ck")])
+    line = [ln for ln in buf.getvalue().splitlines() if ln.startswith("{")][-1]
+    assert _json.loads(line)["ingested_rows"] == 25

@@ -54,3 +54,21 @@ def test_ingest_exactly_once_across_restart(spark, smoke_pages_pd, tmp_path):
     assert got.count() == 90  # no duplicates: A parsed once, B once
     assert _md5_set(got) == _md5_set(
         pages.select("url", "warc_ts", "html", "lang"))
+
+    # built-in CDX provenance: ranged-fetch originals from the landing
+    # shards using ONLY the ingested coordinates — byte-identical
+    from newscrawler_spark.sources.warc import read_ranged
+
+    sample = got.where(F.pmod(F.xxhash64("url"), F.lit(9)) == 0)
+    n_sample = sample.count()
+    assert n_sample > 0
+    back = read_ranged(
+        spark, sample.select("warc_file", "warc_offset", "warc_length")
+    )
+    j = back.select("url", F.md5("html").alias("h2")).join(
+        sample.select("url", F.md5("html").alias("h1")), "url", "full_outer"
+    )
+    assert j.where(
+        F.col("h1").isNull() | F.col("h2").isNull()
+        | (F.col("h1") != F.col("h2"))
+    ).count() == 0
