@@ -72,3 +72,18 @@ def test_ingest_exactly_once_across_restart(spark, smoke_pages_pd, tmp_path):
         F.col("h1").isNull() | F.col("h2").isNull()
         | (F.col("h1") != F.col("h2"))
     ).count() == 0
+
+
+def test_ingest_tolerates_corrupt_shard(spark, smoke_pages_pd, tmp_path):
+    """A garbage file in the landing dir yields zero rows — the query
+    completes and the good shards still ingest."""
+    pages = spark.createDataFrame(smoke_pages_pd.head(10))
+    land = str(tmp_path / "land")
+    write_warc(pages, land, records_per_file=5).collect()
+    with open(land + "/zz_corrupt.warc.gz", "wb") as f:
+        f.write(b"\x1f\x8b\x08 this is not a valid gzip member at all")
+    out = str(tmp_path / "corpus")
+    q = stream_warc_ingest(spark, land, out, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 10
