@@ -1416,9 +1416,10 @@ def _shingle_cte(n: int) -> str:
 def _minhash_oracle(threshold: float = 0.5, num_perm: int = 64,
                     bands: int = 16, n: int = 3) -> str:
     """DuckDB twin of minhash_lsh_pairs(hasher='md5'): identical shingles,
-    identical md5 permutation family, identical band keys, identical
-    Jaccard verify — the candidate SET matches exactly, not just the
-    verified output."""
+    identical double-hash permutation family (one md5 per shingle, 56-bit
+    halves, perm i = min(h1 + i*h2) — overflow-free BIGINT arithmetic),
+    identical band keys, identical Jaccard verify — the candidate SET
+    matches exactly, not just the verified output."""
     r = num_perm // bands
     joined = "||' '||".join(f"tk[i+{j}]" for j in range(n))
     return f"""
@@ -1429,10 +1430,15 @@ def _minhash_oracle(threshold: float = 0.5, num_perm: int = 64,
                      generate_series(1, len(tk) - {n - 1}), i -> {joined}))
                 ELSE [array_to_string(tk, ' ')] END AS sh
             FROM base),
+        hx AS (
+            SELECT doc_id, sh, list_transform(sh, s -> md5(s)) AS hs
+            FROM elig),
         sig AS (
             SELECT doc_id, sh, list_transform(generate_series(0, {num_perm - 1}),
-                p -> list_min(list_transform(sh, s -> md5(s || '|' || p)))) AS sg
-            FROM elig),
+                p -> list_min(list_transform(hs, m ->
+                      ('0x' || substr(m, 1, 14))::BIGINT
+                    + p * ('0x' || substr(m, 17, 14))::BIGINT))) AS sg
+            FROM hx),
         bands AS (
             SELECT doc_id, b,
                    md5(array_to_string(list_slice(sg, b*{r}+1, b*{r}+{r}), ',')) AS bh

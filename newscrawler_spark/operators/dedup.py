@@ -11,8 +11,9 @@ paths stay inside whole-stage codegen and scale with executors:
 - exact:   one groupBy(md5) shuffle; at 100 TB this is the cheapest pass.
 - jaccard: token-postings self-join blocked on shared tokens — exact but
   quadratic per posting; for oracles/small corpora.
-- minhash: per-doc signature (p permutations, computed as p seeded
-  xxhash64 mins over the shingle array — one projection, no shuffle),
+- minhash: per-doc signature (p permutations via double hashing: one
+  base hash per shingle, permutation i = min(h1 + i*h2) — one
+  projection, no shuffle, O(shingles) digests),
   banded into b buckets → candidate pairs join only within buckets →
   verified with exact Jaccard. This is the 100 TB path: shuffle volume is
   O(docs·b) band keys instead of O(docs²).
@@ -251,33 +252,51 @@ def ngram_jaccard_pairs(
 def minhash_signature(
     text: Column | str, num_perm: int = 64, n: int = 3, hasher: str = "xxhash64"
 ) -> Column:
-    """MinHash signature: array of ``num_perm`` hash values.
+    """MinHash signature: array of ``num_perm`` long values.
 
-    Permutation i = min over shingles of h_i(shingle) — computed natively
-    per row (transform + array_min), zero shuffle.
+    Double-hashing family (the standard Kirsch–Mitzenheimer construction
+    used by e.g. datasketch): ONE base hash per shingle yields two 56-bit
+    halves (h1, h2); permutation i = min over shingles of h1 + i*h2.
+    Hashing cost is O(shingles) instead of O(shingles * num_perm) — at
+    num_perm=64 that is 64x fewer digest calls per document — and the
+    56-bit bases bound h1 + 63*h2 < 2^62, so the arithmetic can never
+    overflow a signed 64-bit long (safe under ANSI mode, and bit-exact
+    reproducible in any SQL engine with plain BIGINT arithmetic).
 
-    hasher="xxhash64" (default, scale path): h_i = xxhash64(shingle, seed=i),
-    one long per permutation — cheapest per-row form.
-    hasher="md5" (oracle path): h_i = md5(shingle || '|' || i) as a hex
-    STRING; min over fixed-width lowercase hex == min over the 128-bit
-    value, so it is an equally valid min-wise permutation family AND is
-    reproducible in ANSI SQL (DuckDB) for two-sided driver checks.
+    hasher="xxhash64" (default, scale path): h1 = xxhash64(s)>>>8,
+    h2 = xxhash64(s, 1)>>>8 — two cheap JVM hashes per shingle.
+    hasher="md5" (oracle path): h1/h2 = hex chars [1..14] / [17..30] of
+    md5(s) — DuckDB reproduces them as ('0x'||substr(md5(s),k,14))::BIGINT,
+    so the driver oracle rebuilds the identical signature, band keys, and
+    candidate set (q32/q49).
     """
     sh = shingles_expr(text, n)
     if hasher == "md5":
-        perm = lambda shv, i: F.array_min(  # noqa: E731
-            F.transform(shv, lambda s: F.md5(F.concat(s, F.lit("|"), i.cast("string"))))
+        # bind md5(s) per shingle via the per-element lambda var `m`,
+        # then bind the (h1, h2) struct array once (see bind_once) — one
+        # digest per shingle total, not one per (shingle, permutation)
+        pairs = F.transform(
+            F.transform(sh, lambda s: F.md5(s)),
+            lambda m: F.struct(
+                F.conv(F.substring(m, 1, 14), 16, 10).cast("long").alias("h1"),
+                F.conv(F.substring(m, 17, 14), 16, 10).cast("long").alias("h2"),
+            ),
         )
     else:
-        perm = lambda shv, i: F.array_min(  # noqa: E731
-            F.transform(shv, lambda s: F.xxhash64(s, i))
+        pairs = F.transform(
+            sh,
+            lambda s: F.struct(
+                F.shiftrightunsigned(F.xxhash64(s), 8).alias("h1"),
+                F.shiftrightunsigned(F.xxhash64(s, F.lit(1)), 8).alias("h2"),
+            ),
         )
-    # bind the shingle array once — inlined, it would be re-tokenized
-    # num_perm times per row
     return bind_once(
-        sh,
-        lambda shv: F.transform(
-            F.sequence(F.lit(0), F.lit(num_perm - 1)), lambda i: perm(shv, i)
+        pairs,
+        lambda hv: F.transform(
+            F.sequence(F.lit(0), F.lit(num_perm - 1)),
+            lambda i: F.array_min(
+                F.transform(hv, lambda p: p["h1"] + i.cast("long") * p["h2"])
+            ),
         ),
     )
 
@@ -301,10 +320,12 @@ def minhash_lsh_pairs(
     verify stage; FNs are the usual LSH recall tradeoff (tested ≥ target
     in tests/test_dedup.py).
 
-    ``hasher="md5"`` switches the whole parameterization (permutations AND
-    band keys) to md5 so a DuckDB oracle can reproduce the exact candidate
-    set — used by the driver-contract query q32; xxhash64 stays the
-    default engine path (one long vs a 32-char string per hash).
+    ``hasher="md5"`` switches the whole parameterization (permutation
+    bases AND band keys) to md5 so a DuckDB oracle can reproduce the
+    exact candidate set — used by the driver-contract queries q32/q49;
+    xxhash64 stays the default engine path (JVM hash vs md5 digest per
+    shingle). Both tiers use the same double-hash permutation arithmetic
+    (see minhash_signature).
     """
     r = num_perm // bands
     sig = documents.select(
@@ -315,17 +336,13 @@ def minhash_lsh_pairs(
     # bind the signature once per row (see bind_once): the 16 band keys
     # then slice an already-evaluated array instead of re-hashing all
     # shingles x permutations per band
-    if hasher == "md5":
-        band_key = lambda sg, bnd: F.md5(  # noqa: E731
-            F.concat_ws(",", F.slice(sg, bnd * r + 1, F.lit(r)))
-        )
-    else:
-        band_key = lambda sg, bnd: F.xxhash64(  # noqa: E731
-            F.concat_ws(",", F.transform(
-                F.slice(sg, bnd * r + 1, F.lit(r)),
-                lambda x: x.cast("string"),
-            ))
-        )
+    band_hash = F.md5 if hasher == "md5" else F.xxhash64
+    band_key = lambda sg, bnd: band_hash(  # noqa: E731
+        F.concat_ws(",", F.transform(
+            F.slice(sg, bnd * r + 1, F.lit(r)),
+            lambda x: x.cast("string"),
+        ))
+    )
     banded = sig.select(
         "id",
         F.explode(
