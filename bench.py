@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "q53_cdx_ranged_fetch",
     # r4: real-pixel nearest-neighbor thumbnails (multimodal resize)
     "q54_media_resize",
+    # r4: deterministic training-shard assignment + order checksums
+    "q55_training_shards",
 ]
 
 

@@ -946,6 +946,34 @@ _Q54_ORACLE = """
 """
 
 
+def q55_training_shards(spark, sf_dir):
+    """Deterministic training-shard assignment + order pinning
+    (operators/shards.py): shard = 56-bit md5 hash % 8, within-shard
+    order = (hash, doc_id). The per-shard XOR order-checksum folds
+    (hash, pos) per row, so the oracle match pins shard MEMBERSHIP and
+    the exact global-shuffle ORDER, not just counts — the same order
+    write_training_shards pins on disk via sortWithinPartitions."""
+    from newscrawler_spark.operators.shards import shard_summary
+
+    return shard_summary(_t(spark, sf_dir, "documents"), n_shards=8)
+
+
+_Q55_ORACLE = """
+    WITH a AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('|' || doc_id::VARCHAR), 1, 14))::BIGINT AS h
+        FROM documents),
+    p AS (
+        SELECT CAST(h % 8 AS INTEGER) AS shard, h,
+               row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1 AS pos
+        FROM a)
+    SELECT shard, count(*) AS n_docs,
+           bit_xor(('0x' || substr(md5(h::VARCHAR || ':' || pos::VARCHAR),
+                                   1, 14))::BIGINT) AS order_checksum
+    FROM p GROUP BY shard ORDER BY shard
+"""
+
+
 def q49_curate_pipeline(spark, sf_dir):
     """The COMPOSED curation chain (operators/curate.py): exact dedup →
     quality gate (score ≥ 0.5) → MinHash-LSH near-dup removal
@@ -1788,6 +1816,7 @@ def all_queries():
         "q52_warc_roundtrip": q52_warc_roundtrip,
         "q53_cdx_ranged_fetch": q53_cdx_ranged_fetch,
         "q54_media_resize": q54_media_resize,
+        "q55_training_shards": q55_training_shards,
     }
 
 
@@ -1812,4 +1841,5 @@ def all_oracles():
     out["q52_warc_roundtrip"] = _Q52_ORACLE
     out["q53_cdx_ranged_fetch"] = _Q53_ORACLE
     out["q54_media_resize"] = _Q54_ORACLE
+    out["q55_training_shards"] = _Q55_ORACLE
     return out

@@ -1,0 +1,174 @@
+"""Deterministic training-shard writer over a curated documents corpus.
+
+The step a training pipeline runs AFTER curation (operators/curate.py):
+globally shuffle the surviving documents into ``n_shards`` roughly-equal
+shards with a pinned, reproducible order, so that (a) every trainer
+rank reads a disjoint, stable slice, (b) a re-run of the writer produces
+byte-for-byte the same shard membership and row order, and (c) a new
+epoch permutation is one ``salt`` change away (no new semantics, no new
+code path).
+
+Determinism contract (SQL-expressible end to end — driver query q55):
+
+- shard(doc)   = base56(md5(salt || '|' || doc_id)) % n_shards
+- order within = ascending by that same 56-bit hash, doc_id tiebreak
+  (the hash IS the permutation — a uniform pseudorandom global shuffle)
+
+where base56(m) = first 14 hex chars of the digest as a BIGINT — the
+same overflow-free 56-bit construction the MinHash family uses
+(operators/dedup.py), reproducible in any SQL engine as
+``('0x' || substr(md5(..), 1, 14))::BIGINT``.
+
+Scale shape (100 TB): assignment is a pure projection; the writer is ONE
+hash shuffle on ``shard`` + a per-partition sort (spillable), then a
+``partitionBy(shard)`` parquet write — no window, no driver-side state.
+The rank column exposed by :func:`assign_shards` (used by the small-SF
+contract query to pin the order) is a per-shard window; the WRITER never
+computes it — the order is pinned by ``sortWithinPartitions``, which is
+the scalable form of the same contract.
+
+Commit discipline matches operators/store.py: ``_SHARDS_MANIFEST.json``
+(per-shard row counts + order checksums + the salt) is written LAST via
+tmp + fsync + atomic rename; a missing/torn manifest means the shard set
+is not committed and :func:`read_training_shards` refuses it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+MANIFEST = "_SHARDS_MANIFEST.json"
+
+
+def _base56(col: Column) -> Column:
+    """First 56 bits of md5 as a non-negative BIGINT (see module doc)."""
+    return F.conv(F.substring(F.md5(col), 1, 14), 16, 10).cast("long")
+
+
+def shard_hash(id_col: Column | str, salt: str = "") -> Column:
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return _base56(F.concat_ws("|", F.lit(salt), c.cast("string")))
+
+
+def assign_shards(
+    documents: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+    with_pos: bool = False,
+) -> DataFrame:
+    """Add ``shard`` (int) and ``shuffle_hash`` (long) columns.
+
+    ``with_pos=True`` also adds ``pos`` — the 0-based rank within the
+    shard under the pinned order (hash asc, id asc). pos is a per-shard
+    window sort: fine at contract/test scale, and the per-shard sort the
+    writer does anyway at scale — but prefer the writer's
+    sortWithinPartitions form for bulk jobs.
+    """
+    h = shard_hash(id_col, salt)
+    out = documents.withColumn("shuffle_hash", h).withColumn(
+        "shard", F.pmod(F.col("shuffle_hash"), F.lit(n_shards)).cast("int")
+    )
+    if with_pos:
+        w = Window.partitionBy("shard").orderBy("shuffle_hash", id_col)
+        out = out.withColumn("pos", F.row_number().over(w) - F.lit(1))
+    return out
+
+
+def shard_summary(
+    documents: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Per-shard (n_docs, order_checksum) — the driver-checkable contract.
+
+    order_checksum = bit_xor over rows of base56(md5(hash || ':' || pos)):
+    any membership change, any order change, and any off-by-one in pos
+    flips it; XOR-aggregation can never overflow. Deterministic and
+    reproducible in ANSI SQL (q55).
+    """
+    a = assign_shards(documents, n_shards, id_col, salt, with_pos=True)
+    mix = _base56(
+        F.concat_ws(
+            ":",
+            F.col("shuffle_hash").cast("string"),
+            F.col("pos").cast("string"),
+        )
+    )
+    return (
+        a.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.bit_xor(mix).alias("order_checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
+def write_training_shards(
+    documents: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> dict:
+    """Shuffle + write the corpus as ``path/shard=K/*.parquet``.
+
+    One hash shuffle on ``shard`` (AQE coalesces small shards), rows
+    sorted per partition by (shard, shuffle_hash, id) so each shard file
+    carries the pinned order even when hash-partitioning co-locates two
+    shards in one task. Manifest (counts + order checksums + salt) is the
+    commit marker, written last + atomically. Returns the manifest dict.
+    """
+    a = assign_shards(documents, n_shards, id_col, salt)
+    (
+        a.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shuffle_hash", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    stats = shard_summary(documents, n_shards, id_col, salt).collect()
+    man = {
+        "n_shards": n_shards,
+        "salt": salt,
+        "id_col": id_col,
+        "total_docs": int(sum(r.n_docs for r in stats)),
+        "shards": {
+            str(r.shard): {
+                "n_docs": int(r.n_docs),
+                "order_checksum": int(r.order_checksum),
+            }
+            for r in stats
+        },
+    }
+    fd, tmp = tempfile.mkstemp(dir=path, prefix="_SHARDS", suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(man, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, MANIFEST))
+    return man
+
+
+def read_training_shards(spark: SparkSession, path: str) -> DataFrame:
+    """Read a committed shard set; refuse an uncommitted/torn one."""
+    mp = os.path.join(path, MANIFEST)
+    try:
+        with open(mp) as f:
+            man = json.load(f)
+        if "n_shards" not in man or "shards" not in man:
+            raise ValueError
+    except (OSError, ValueError, json.JSONDecodeError):
+        raise FileNotFoundError(
+            f"{path}: no committed shard manifest ({MANIFEST}) — "
+            "the writer did not finish"
+        )
+    return spark.read.parquet(path)
