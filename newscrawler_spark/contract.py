@@ -456,6 +456,29 @@ def q24_articles_current(spark, sf_dir):
     )
 
 
+def q56_articles_as_of(spark, sf_dir):
+    """F2 time-travel: each url's version that was current HALFWAY
+    through the table's date range (articles_as_of, cutoff = min
+    download_date + 15 days — mid-table, so per url the visible version
+    set genuinely varies: some urls absent, some v1-only, some already
+    at v2). A match proves the cutoff filter composes with the
+    versioning window rather than re-testing q24. The cutoff is derived
+    from the table and broadcast-joined — no literal, no collect."""
+    from newscrawler_spark.operators.extract import articles_as_of
+
+    tier = tier_for(sf_dir)
+    ensure_cache(spark, tier)
+    av = spark.read.parquet(_p(tier, "articles_versions"))
+    cutoff = av.select(
+        (F.min("download_date") + F.expr("INTERVAL 15 DAY")).alias("_cutoff")
+    )
+    return articles_as_of(av, cutoff).select(
+        "url_canon", "url_hash",
+        F.col("download_date").cast("string").alias("download_date"),
+        F.length("article_text").alias("text_len"),
+    )
+
+
 def q25_rss_compare(spark, sf_dir):
     """F1 — RSS re-crawl compare (left outer + strict-newer filter) vs SQL."""
     from newscrawler_spark.operators.store import rss_recrawl_compare
@@ -604,6 +627,20 @@ CRAWL_ORACLES = {
                   PARTITION BY url_hash
                   ORDER BY download_date DESC, warc_ts DESC, url ASC) AS rn
               FROM {_rp('articles_versions')})
+        WHERE rn = 1
+    """,
+    "q56_articles_as_of": f"""
+        WITH c AS (SELECT min(download_date) + INTERVAL 15 DAY AS cutoff
+                   FROM {_rp('articles_versions')}),
+        f AS (SELECT av.* FROM {_rp('articles_versions')} av, c
+              WHERE av.download_date <= c.cutoff)
+        SELECT url_canon, url_hash,
+               CAST(download_date AS VARCHAR) AS download_date,
+               length(article_text) AS text_len
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY url_hash
+                  ORDER BY download_date DESC, warc_ts DESC, url ASC) AS rn
+              FROM f)
         WHERE rn = 1
     """,
     "q25_rss_compare": f"""
@@ -1817,6 +1854,7 @@ def all_queries():
         "q53_cdx_ranged_fetch": q53_cdx_ranged_fetch,
         "q54_media_resize": q54_media_resize,
         "q55_training_shards": q55_training_shards,
+        "q56_articles_as_of": q56_articles_as_of,
     }
 
 

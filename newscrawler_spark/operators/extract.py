@@ -72,6 +72,30 @@ def extract_articles(gated: DataFrame) -> DataFrame:
     return pruned.mapInPandas(_extract_batches, schema=ARTICLES_SCHEMA)
 
 
+def articles_as_of(articles: DataFrame, as_of) -> DataFrame:
+    """F2 time-travel read: the version of each url that was CURRENT at
+    ``as_of`` (latest version with ``download_date <= as_of``) — the
+    parquet-backend analog of an Iceberg snapshot-as-of read.
+
+    ``as_of`` is a Column/literal timestamp, or a single-row single-column
+    DataFrame (broadcast-joined, so a derived cutoff like
+    ``min(download_date)`` stays fully distributed — no collect). Plan:
+    one filter + the same per-url window as with_is_current; versions
+    newer than the cutoff are invisible, urls with no version yet are
+    absent.
+    """
+    if isinstance(as_of, DataFrame):
+        cutcol = as_of.columns[0]
+        filt = (
+            articles.join(F.broadcast(as_of))
+            .where(F.col("download_date") <= F.col(cutcol))
+            .drop(cutcol)
+        )
+    else:
+        filt = articles.where(F.col("download_date") <= as_of)
+    return with_is_current(filt).where("is_current").drop("is_current")
+
+
 def with_is_current(articles: DataFrame) -> DataFrame:
     """F2 batch form — latest version per url flagged current
     (``row_number() over (partition by url_hash order by download_date

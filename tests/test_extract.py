@@ -155,3 +155,33 @@ def test_with_is_current_versioning(spark):
         for r in with_is_current(df).where("is_current").collect()
     }
     assert cur == {"v2", "only"}
+
+
+def test_articles_as_of_time_travel(spark):
+    from newscrawler_spark.operators.extract import articles_as_of
+
+    rows = [
+        ("u", 1, datetime(2016, 5, 1), "v1"),
+        ("u", 1, datetime(2016, 6, 1), "v2"),
+        ("w", 2, datetime(2016, 5, 10), "only"),
+        ("x", 3, datetime(2016, 7, 1), "future"),  # not yet crawled at cutoff
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, url_hash long, download_date timestamp, article_text string"
+    ).withColumn("warc_ts", F.col("download_date"))
+    # literal cutoff: v2 and x invisible, u resolves to v1
+    asof = {
+        r.article_text
+        for r in articles_as_of(df, F.lit(datetime(2016, 5, 15))).collect()
+    }
+    assert asof == {"v1", "only"}
+    # derived single-row DataFrame cutoff (broadcast path): min date → u@v1 only
+    cutoff = df.select(F.min("download_date").alias("c"))
+    asof_min = {r.article_text for r in articles_as_of(df, cutoff).collect()}
+    assert asof_min == {"v1"}
+    # as-of "now" ≡ with_is_current
+    asof_all = {
+        r.article_text
+        for r in articles_as_of(df, F.lit(datetime(2017, 1, 1))).collect()
+    }
+    assert asof_all == {"v2", "only", "future"}
