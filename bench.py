@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "q54_media_resize",
     # r4: deterministic training-shard assignment + order checksums
     "q55_training_shards",
+    # r4: int8-quantized ANN tier (integer GEMM + exact re-rank)
+    "q57_quantized_topk",
 ]
 
 

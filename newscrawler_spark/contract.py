@@ -722,6 +722,23 @@ def q35_ann_topk(spark, sf_dir):
     return brute_force_topk(emb, q, k=5)
 
 
+def q57_quantized_topk(spark, sf_dir):
+    """int8-quantized ANN tier (similarity.quantized_topk, GEMM default):
+    approx = integer dot / integer norms on floor(x*127/max|x| + 0.5)
+    vectors — integer-derived end to end, so the DuckDB oracle rebuilds
+    the EXACT candidate pool (top k*rerank approx scores), then both
+    sides re-rank the pool with exact float cosine. Queries = the three
+    smallest vec_ids (q35 protocol); a hash match pins the quantization
+    primitive, the pool cut, and the re-rank."""
+    from newscrawler_spark.operators.similarity import quantized_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return quantized_topk(emb, q, k=5, rerank=4)
+
+
 def q36_quality_stats(spark, sf_dir):
     from newscrawler_spark.operators.textstats import quality_stats
 
@@ -1730,6 +1747,46 @@ TRAINING_ORACLES = {
             FROM scored)
         SELECT query_id, vec_id, cos, rank FROM ranked WHERE rank <= 5
     """,
+    "q57_quantized_topk": """
+        WITH q0 AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                    FROM embeddings ORDER BY vec_id LIMIT 3),
+        qz AS (
+            SELECT query_id, qv,
+                   list_transform(qv, x -> floor(x * 127.0 /
+                       list_max(list_transform(qv, y -> abs(y))) + 0.5)) AS qi
+            FROM q0
+            WHERE list_max(list_transform(qv, y -> abs(y))) > 0),
+        ez AS (
+            SELECT vec_id,
+                   list_transform(embedding::DOUBLE[], x -> floor(x * 127.0 /
+                       list_max(list_transform(embedding::DOUBLE[], y -> abs(y)))
+                       + 0.5)) AS xi
+            FROM embeddings
+            WHERE list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) > 0),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   list_dot_product(e.xi, q.qi)
+                   / (sqrt(list_dot_product(e.xi, e.xi))
+                      * sqrt(list_dot_product(q.qi, q.qi))) AS approx
+            FROM ez e CROSS JOIN qz q),
+        pool AS (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id, row_number() OVER (
+                    PARTITION BY query_id ORDER BY approx DESC, vec_id ASC) AS rn
+                FROM scored)
+            WHERE rn <= 20),
+        exact AS (
+            SELECT p.query_id, p.vec_id,
+                   list_cosine_similarity(e.embedding::DOUBLE[], q0.qv) AS cos
+            FROM pool p
+            JOIN embeddings e ON p.vec_id = e.vec_id
+            JOIN q0 ON p.query_id = q0.query_id)
+        SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM (
+            SELECT query_id, vec_id, cos, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+            FROM exact)
+        WHERE rank <= 5
+    """,
     "q38_fingerprint": _shingle_cte(5) + """
         SELECT doc_id, list_min(list_transform(sh, s -> md5(s))) AS fingerprint
         FROM elig
@@ -1855,6 +1912,7 @@ def all_queries():
         "q54_media_resize": q54_media_resize,
         "q55_training_shards": q55_training_shards,
         "q56_articles_as_of": q56_articles_as_of,
+        "q57_quantized_topk": q57_quantized_topk,
     }
 
 

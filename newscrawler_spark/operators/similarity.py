@@ -595,3 +595,213 @@ def ann_lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 quantized tier — the 10^9-vector memory/bandwidth lever
+# ---------------------------------------------------------------------------
+
+def _q127_expr(vd: Column, m: Column) -> Column:
+    """floor(x*127/m + 0.5) as int — symmetric-range int8 quantization.
+
+    floor(t + 0.5) is the ONE rounding primitive that is bit-identical
+    across Spark (F.floor), DuckDB (floor) and numpy (np.floor), so the
+    oracle can rebuild the quantized vectors exactly; Spark's round()
+    (decimal HALF_UP) and numpy's round() (half-to-even) do not agree on
+    every double. |t| <= 127 by construction, so values fit a tinyint.
+    """
+    return F.transform(
+        vd, lambda x: F.floor(x * F.lit(127.0) / m + F.lit(0.5)).cast("int")
+    )
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, scale double, qvec array<tinyint>) — the persistable form.
+
+    scale = max|x|/127 so x ~= scale * qvec; a stored corpus shrinks 4x
+    (plus the float->tinyint shuffle/cache win, which is the point at
+    10^9 vectors). Zero vectors get scale 0 and an all-zero qvec.
+    """
+    vd = F.col(vec_col).cast("array<double>")
+    m = F.array_max(F.transform(vd, F.abs))
+    return embeddings.select(
+        F.col(id_col),
+        (m / F.lit(127.0)).alias("scale"),
+        F.when(m > 0, _q127_expr(vd, m))
+        .otherwise(F.transform(vd, lambda x: F.lit(0)))
+        .cast("array<tinyint>")
+        .alias("qvec"),
+    )
+
+
+def _qnorm_expr(qi: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            qi, F.lit(0).cast("long"),
+            lambda acc, v: acc + (v * v).cast("long"),
+        ).cast("double")
+    )
+
+
+def quantized_topk_catalyst(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate cosine top-k via int8 quantization + exact re-rank —
+    pure-Catalyst reference tier (no Python workers, plan JVM-only).
+
+    Stage 1 scores EVERY (vector, query) pair on the quantized ints:
+    approx = int_dot / (|qx| * |qq|) — the per-vector scales cancel in
+    cosine, so the score is integer-derived end to end (exactly
+    reproducible in SQL: q57). Stage 2 keeps the top k*rerank per query
+    (approx desc, id asc) and re-ranks just those with exact float
+    cosine. Output schema = brute_force_topk's. Zero-norm vectors and
+    queries yield no rows.
+    """
+    pool_n = k * rerank
+    eq = quantize_embeddings(embeddings, id_col, vec_col).where(
+        F.col("scale") > 0
+    ).select(F.col(id_col).alias("vec_id"), F.col("qvec").alias("xi"))
+    qq = quantize_embeddings(queries, query_id_col, query_vec_col).where(
+        F.col("scale") > 0
+    ).select(F.col(query_id_col).alias("query_id"), F.col("qvec").alias("qi"))
+    scored = (
+        eq.crossJoin(F.broadcast(qq))
+        .select(
+            "query_id", "vec_id",
+            (
+                F.aggregate(
+                    F.zip_with(F.col("xi"), F.col("qi"),
+                               lambda a, b: (a.cast("int") * b.cast("int")).cast("long")),
+                    F.lit(0).cast("long"), lambda acc, v: acc + v,
+                ).cast("double")
+                / (_qnorm_expr(F.col("xi").cast("array<int>"))
+                   * _qnorm_expr(F.col("qi").cast("array<int>")))
+            ).alias("approx"),
+        )
+    )
+    wpool = Window.partitionBy("query_id").orderBy(
+        F.desc("approx"), F.asc("vec_id"))
+    pool = (
+        scored.withColumn("prank", F.row_number().over(wpool))
+        .where(F.col("prank") <= pool_n)
+        .select("query_id", "vec_id")
+    )
+    e = embeddings.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).alias("v"))
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(query_vec_col).alias("qv"))
+    exact = (
+        pool.join(e, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "vec_id",
+                cosine_expr(F.col("v"), F.col("qv")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def quantized_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """int8-quantized top-k, GEMM tier (default) — identical semantics to
+    :func:`quantized_topk_catalyst` (equality-tested).
+
+    Per Arrow batch: quantize with the same floor(t+0.5) primitive, one
+    integer GEMM against the broadcast quantized query matrix, tie-safe
+    batch cut at the k*rerank-th score. At 10^9 vectors the win is
+    bandwidth — int8 rows are 4x smaller through scan/shuffle/cache —
+    while the exact re-rank touches only ~k*rerank floats per query.
+    """
+    pool_n = k * rerank
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+    ).collect()
+    if not qrows:
+        return quantized_topk_catalyst(
+            embeddings, queries, k, rerank, id_col, vec_col,
+            query_id_col, query_vec_col)
+    qmat = np.array([r["qv"] for r in qrows], dtype=np.float64)
+    qm = np.abs(qmat).max(axis=1)
+    live = qm > 0
+    qids = [r["query_id"] for i, r in enumerate(qrows) if live[i]]
+    qmat = qmat[live]
+    qi = np.floor(qmat * 127.0 / qm[live][:, None] + 0.5).astype(np.int64)
+    qn = np.sqrt((qi * qi).sum(axis=1).astype(np.float64))
+
+    e = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    qid_t = queries.select(F.col(query_id_col).alias("q")).schema["q"].dataType
+    vid_t = e.schema["vec_id"].dataType
+    out_schema = (f"query_id {qid_t.simpleString()}, "
+                  f"vec_id {vid_t.simpleString()}, approx double")
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty or not qids:
+                continue
+            v = np.array(pdf["v"].tolist(), dtype=np.float64)
+            m = np.abs(v).max(axis=1)
+            ok = m > 0
+            if not ok.any():
+                continue
+            # int8 is the storage/shuffle dtype; widen for the GEMM
+            xi = np.floor(v[ok] * 127.0 / m[ok][:, None] + 0.5).astype(np.int8)
+            xw = xi.astype(np.int64)
+            xn = np.sqrt((xw * xw).sum(axis=1).astype(np.float64))
+            s = (xw @ qi.T) / (xn[:, None] * qn[None, :])
+            ids = pdf["vec_id"].to_numpy()[ok]
+            for j, qid in enumerate(qids):
+                col = s[:, j]
+                if len(col) > pool_n:
+                    kth = np.partition(col, -pool_n)[-pool_n]
+                    keep = col >= kth
+                else:
+                    keep = np.ones(len(col), dtype=bool)
+                yield pd.DataFrame({"query_id": qid, "vec_id": ids[keep],
+                                    "approx": col[keep]})
+
+    scored = e.mapInPandas(score, out_schema)
+    wpool = Window.partitionBy("query_id").orderBy(
+        F.desc("approx"), F.asc("vec_id"))
+    pool = (
+        scored.withColumn("prank", F.row_number().over(wpool))
+        .where(F.col("prank") <= pool_n)
+        .select("query_id", "vec_id")
+    )
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       F.col(query_vec_col).alias("qv"))
+    exact = (
+        pool.join(e, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "vec_id",
+                cosine_expr(F.col("v"), F.col("qv")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+    )
