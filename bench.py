@@ -62,6 +62,11 @@ BENCH_QUERIES = [
     "q55_training_shards",
     # r4: int8-quantized ANN tier (integer GEMM + exact re-rank)
     "q57_quantized_topk",
+    # r4: C4/Gopher repetition signals, benchmark decontamination,
+    # deterministic data-mixing sample
+    "q58_repetition_stats",
+    "q59_decontaminate",
+    "q60_stratified_sample",
 ]
 
 

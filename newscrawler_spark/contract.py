@@ -739,6 +739,46 @@ def q57_quantized_topk(spark, sf_dir):
     return quantized_topk(emb, q, k=5, rerank=4)
 
 
+def q58_repetition_stats(spark, sf_dir):
+    """C4/Gopher-style within-document repetition signals (textstats.
+    repetition_stats): total bigram count, most-frequent-bigram count
+    and fraction, duplicate-trigram fraction. The oracle rebuilds the
+    bigram/trigram multisets and the per-(doc, gram) mode from the same
+    tokenization fragment every text oracle shares."""
+    from newscrawler_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def q59_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (dedup.decontaminate): training docs =
+    doc_id % 13 != 0, benchmark = the rest; n_overlap = the doc's
+    distinct 3-gram shingles that appear anywhere in the benchmark.
+    One explode + join + groupBy — never corpus x benchmark."""
+    from newscrawler_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.where(F.pmod("doc_id", F.lit(13)) != 0),
+        docs.where(F.pmod("doc_id", F.lit(13)) == 0),
+        n=3,
+    )
+
+
+def q60_stratified_sample(spark, sf_dir):
+    """Deterministic data-mixing sample (curate.stratified_sample):
+    per-lang keep rates {en:0.5, de:1.0, fr:0.25, es:0.0, zh:0.1},
+    keep iff 56-bit md5 hash % 1e6 < rate*1e6 — pure projection+filter,
+    integer thresholds in the plan, monotone in rate. The oracle
+    recomputes the hash key and thresholds closed-form."""
+    from newscrawler_spark.operators.curate import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        rates={"en": 0.5, "de": 1.0, "fr": 0.25, "es": 0.0, "zh": 0.1},
+    ).select("doc_id", "lang", "sample_key")
+
+
 def q36_quality_stats(spark, sf_dir):
     from newscrawler_spark.operators.textstats import quality_stats
 
@@ -1787,6 +1827,56 @@ TRAINING_ORACLES = {
             FROM exact)
         WHERE rank <= 5
     """,
+    "q58_repetition_stats": f"""
+        WITH base AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+        g AS (
+            SELECT doc_id,
+                CASE WHEN len(tk) >= 2 THEN list_transform(
+                    generate_series(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1])
+                ELSE [] END AS g2,
+                CASE WHEN len(tk) >= 3 THEN list_transform(
+                    generate_series(1, len(tk) - 2),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+                ELSE [] END AS g3
+            FROM base),
+        tops AS (
+            SELECT doc_id, max(c) AS top2_count FROM (
+                SELECT doc_id, s, count(*) AS c
+                FROM (SELECT doc_id, unnest(g2) AS s FROM g)
+                GROUP BY doc_id, s)
+            GROUP BY doc_id)
+        SELECT g.doc_id,
+               CAST(len(g.g2) AS BIGINT) AS n_2grams,
+               CAST(coalesce(t.top2_count, 0) AS BIGINT) AS top2_count,
+               CASE WHEN len(g.g2) > 0 THEN round(
+                   coalesce(t.top2_count, 0) / CAST(len(g.g2) AS DOUBLE), 6)
+               ELSE 0.0 END AS top2_frac,
+               CASE WHEN len(g.g3) > 0 THEN round(
+                   1.0 - len(list_distinct(g.g3)) / CAST(len(g.g3) AS DOUBLE), 6)
+               ELSE 0.0 END AS dup3_frac
+        FROM g LEFT JOIN tops t ON g.doc_id = t.doc_id
+    """,
+    "q59_decontaminate": _shingle_cte(3) + """
+        , bench AS (
+            SELECT DISTINCT unnest(sh) AS s FROM elig WHERE doc_id % 13 = 0),
+        dsh AS (
+            SELECT doc_id, unnest(sh) AS s FROM elig WHERE doc_id % 13 != 0)
+        SELECT doc_id, count(*) AS n_overlap
+        FROM dsh JOIN bench USING (s)
+        GROUP BY doc_id
+    """,
+    "q60_stratified_sample": """
+        SELECT doc_id, lang,
+               ('0x' || substr(md5('|' || doc_id::VARCHAR), 1, 14))::BIGINT
+                 % 1000000 AS sample_key
+        FROM documents
+        WHERE ('0x' || substr(md5('|' || doc_id::VARCHAR), 1, 14))::BIGINT
+                 % 1000000
+              < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 1000000
+                          WHEN 'fr' THEN 250000 WHEN 'es' THEN 0
+                          WHEN 'zh' THEN 100000 ELSE 0 END
+    """,
     "q38_fingerprint": _shingle_cte(5) + """
         SELECT doc_id, list_min(list_transform(sh, s -> md5(s))) AS fingerprint
         FROM elig
@@ -1913,6 +2003,9 @@ def all_queries():
         "q55_training_shards": q55_training_shards,
         "q56_articles_as_of": q56_articles_as_of,
         "q57_quantized_topk": q57_quantized_topk,
+        "q58_repetition_stats": q58_repetition_stats,
+        "q59_decontaminate": q59_decontaminate,
+        "q60_stratified_sample": q60_stratified_sample,
     }
 
 

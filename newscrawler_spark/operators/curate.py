@@ -77,3 +77,38 @@ def curate_corpus(
         .join(lang, id_col)
         .select(id_col, "n_tokens", "quality_score", "lang_pred")
     )
+
+
+def stratified_sample(
+    documents: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum hash sampling — the data-mixing step
+    (e.g. keep 50% of English, 10% of zh, all of de).
+
+    keep iff base56(md5(salt|id)) % 1_000_000 < round(rate * 1e6): a
+    pure projection + filter (no shuffle, no RNG state), reproducible
+    across runs/engines, and monotone in rate — raising a stratum's rate
+    keeps every previously kept doc (hash-threshold sampling), so mixes
+    can be tuned without churning the corpus. Rates land in the plan as
+    integer thresholds (round(rate*1e6) computed in Python), so both
+    engines compare the same BIGINTs — no float in the predicate.
+    """
+    from newscrawler_spark.operators.shards import shard_hash
+
+    thresholds = {k: int(round(v * 1_000_000)) for k, v in rates.items()}
+    mapping = F.create_map(
+        *[x for k, v in thresholds.items() for x in (F.lit(k), F.lit(v))]
+    )
+    thr = F.coalesce(
+        mapping[F.col(strata_col)],
+        F.lit(int(round(default_rate * 1_000_000))),
+    )
+    key = F.pmod(shard_hash(id_col, salt), F.lit(1_000_000))
+    return documents.withColumn("sample_key", key).where(
+        F.col("sample_key") < thr
+    )

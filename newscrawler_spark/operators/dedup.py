@@ -620,3 +620,37 @@ def _cosine_pairs_blocked(
         gemm, schema="id1 long, id2 long, cos double"
     )
     return out.select("id1", "id2", F.round("cos", 6).alias("cos"))
+
+
+def decontaminate(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Benchmark decontamination: (doc_id, n_overlap) for every training
+    document sharing >= 1 word n-gram with the benchmark corpus.
+
+    The cross-corpus cousin of dedup: training data must not contain
+    eval-set text. Semantics: n_overlap = count of the document's
+    DISTINCT n-gram shingles that appear anywhere in the benchmark.
+    Plan: benchmark -> distinct shingle set (tiny vs the corpus —
+    broadcast when it fits, hash join otherwise, Catalyst's call);
+    documents -> exploded distinct shingles, ONE join + groupBy count.
+    O(corpus tokens) shuffle, never corpus x benchmark.
+    """
+    btc = bench_text_col or text_col
+    bsh = (
+        benchmark.select(F.explode(shingles_expr(btc, n)).alias("s"))
+        .distinct()
+    )
+    dsh = documents.select(
+        F.col(id_col), F.explode(shingles_expr(text_col, n)).alias("s")
+    )
+    return (
+        dsh.join(bsh, "s")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )

@@ -140,3 +140,67 @@ def fingerprint(documents: DataFrame, n: int = 5, id_col: str = "doc_id",
         F.col(id_col),
         F.array_min(F.transform(sh, lambda s: F.md5(s))).alias("fingerprint"),
     )
+
+
+def ngrams_all_expr(text: Column | str, n: int) -> Column:
+    """ALL word n-grams in order, duplicates kept (unlike shingles_expr,
+    which de-dups for set semantics) — repetition analysis needs the
+    multiset. Docs with < n tokens yield an empty array."""
+    toks = tokens_expr(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>"))
+
+
+def repetition_stats(documents: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """C4/Gopher-style within-document repetition signals.
+
+    Per doc: n_2grams (total bigram count), top2_count (occurrences of
+    the most frequent bigram), top2_frac = top2_count / n_2grams (the
+    "top n-gram fraction" repetition filter), dup3_frac = fraction of
+    trigram occurrences that are repeats (1 - distinct/total). Boiler-
+    plate and looping generations score high on both; clean prose stays
+    low. dup3_frac is a pure projection (no shuffle); top2 needs the
+    per-(doc, gram) counts — ONE explode + groupBy shuffle, O(tokens),
+    the same shape at 100 TB.
+    """
+    g2 = ngrams_all_expr(text_col, 2)
+    g3 = ngrams_all_expr(text_col, 3)
+    base = documents.select(
+        F.col(id_col),
+        F.size(g2).cast("long").alias("n_2grams"),
+        F.when(
+            F.size(g3) > 0,
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct(g3)) / F.size(g3).cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("dup3_frac"),
+    )
+    counts = (
+        documents.select(F.col(id_col), F.explode(g2).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top2_count"))
+    )
+    return (
+        base.join(counts, id_col, "left")
+        .select(
+            id_col,
+            "n_2grams",
+            F.coalesce("top2_count", F.lit(0)).cast("long").alias("top2_count"),
+            F.when(
+                F.col("n_2grams") > 0,
+                F.round(
+                    F.coalesce("top2_count", F.lit(0))
+                    / F.col("n_2grams").cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("top2_frac"),
+            "dup3_frac",
+        )
+    )

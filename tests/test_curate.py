@@ -73,3 +73,33 @@ def test_curate_plan_no_python_row_udfs(spark, docs_df):
     )
     assert "BatchEvalPython" not in plan
     assert "PythonUDF" not in plan
+
+
+def test_stratified_sample_deterministic_and_monotone(spark):
+    from newscrawler_spark.operators.curate import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "t", ["en", "de", "fr"][i % 3]) for i in range(600)],
+        "doc_id long, text string, lang string",
+    )
+    half = stratified_sample(df, {"en": 0.5, "de": 1.0, "fr": 0.0})
+    rows = half.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    assert "fr" not in by_lang                      # rate 0 drops all
+    assert len(by_lang["de"]) == 200                # rate 1 keeps all
+    assert 60 <= len(by_lang["en"]) <= 140          # ~rate 0.5 of 200
+    # deterministic: re-run identical
+    again = {r.doc_id for r in stratified_sample(
+        df, {"en": 0.5, "de": 1.0, "fr": 0.0}).collect()}
+    assert again == {r.doc_id for r in rows}
+    # monotone: raising en's rate keeps every previously kept doc
+    more = {r.doc_id for r in stratified_sample(
+        df, {"en": 0.8, "de": 1.0, "fr": 0.0}).collect() if r.lang == "en"}
+    assert by_lang["en"] <= more
+    # salted epoch differs
+    salted = {r.doc_id for r in stratified_sample(
+        df, {"en": 0.5, "de": 1.0, "fr": 0.0}, salt="e1").collect()
+        if r.lang == "en"}
+    assert salted != by_lang["en"]

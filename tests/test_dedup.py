@@ -291,3 +291,30 @@ def test_dedup_plans_are_jvm_only(spark, docs_df):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan
+
+
+def test_decontaminate_overlap_counts(spark):
+    from newscrawler_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),   # contains bench 3-grams
+            (2, "totally unrelated words in here"),
+            (3, "alpha beta gamma completely new tail"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta zeta")], "doc_id long, text string")
+    got = {r.doc_id: r.n_overlap for r in
+           decontaminate(docs, bench, n=3).collect()}
+    # doc 1 shares "alpha beta gamma" and "beta gamma delta"; doc 3 one
+    assert got == {1: 2, 3: 1}
+
+
+def test_decontaminate_clean_corpus_empty(spark, docs_df):
+    from newscrawler_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(0, "zz yy xx ww vv uu tt")], "doc_id long, text string")
+    assert decontaminate(docs_df, bench, n=3).count() == 0

@@ -90,3 +90,40 @@ def test_textstats_plans_are_jvm_only(spark, docs_df):
     for df in (quality_stats(docs_df), langid(docs_df), fingerprint(docs_df)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan
+
+
+def test_repetition_stats_signals(spark):
+    from newscrawler_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam spam"),           # one bigram repeated
+            (1, "every word here is completely different today"),
+            (2, "ab cd ab cd ab cd ab cd"),                  # period-2 loop
+            (3, "one"),                                      # < 2 tokens
+            (4, ""),                                         # empty
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert len(got) == 5
+    # doc 0: 5 bigrams, all "spam spam"
+    assert got[0].n_2grams == 5 and got[0].top2_count == 5
+    assert got[0].top2_frac == 1.0 and got[0].dup3_frac > 0.7
+    # doc 1: no repeats at all
+    assert got[1].top2_count == 1 and got[1].dup3_frac == 0.0
+    # doc 2: loop — "ab cd" appears 4 times of 7 bigrams
+    assert got[2].n_2grams == 7 and got[2].top2_count == 4
+    assert abs(got[2].top2_frac - round(4 / 7, 6)) < 1e-9
+    # short/empty docs: all-zero, still present
+    for i in (3, 4):
+        assert (got[i].n_2grams, got[i].top2_count,
+                got[i].top2_frac, got[i].dup3_frac) == (0, 0, 0.0, 0.0)
+
+
+def test_repetition_stats_plan_is_jvm_only(spark):
+    from newscrawler_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
