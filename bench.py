@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "q58_repetition_stats",
     "q59_decontaminate",
     "q60_stratified_sample",
+    # r4: C4-style global boilerplate-span removal with ordered rebuild
+    "q61_boilerplate_removal",
 ]
 
 

@@ -779,6 +779,20 @@ def q60_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang", "sample_key")
 
 
+def q61_boilerplate_removal(spark, sf_dir):
+    """C4-style global boilerplate removal (curate.
+    boilerplate_span_removal): every 3-token chunk occurring in > 2
+    documents is dropped corpus-wide and each text is rebuilt from its
+    surviving chunks in original order. The oracle recomputes chunking,
+    global document frequencies, the hot set, and the ordered rebuild
+    (string_agg ORDER BY pos) — a cleaned_text hash match pins the
+    whole path byte-for-byte."""
+    from newscrawler_spark.operators.curate import boilerplate_span_removal
+
+    return boilerplate_span_removal(
+        _t(spark, sf_dir, "documents"), span=3, max_df=2)
+
+
 def q36_quality_stats(spark, sf_dir):
     from newscrawler_spark.operators.textstats import quality_stats
 
@@ -1827,6 +1841,33 @@ TRAINING_ORACLES = {
             FROM exact)
         WHERE rank <= 5
     """,
+    "q61_boilerplate_removal": f"""
+        WITH base AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+        sp AS (
+            SELECT doc_id, CASE WHEN len(tk) > 0 THEN list_transform(
+                generate_series(0, CAST(ceil(len(tk)/3.0) AS INTEGER) - 1),
+                i -> array_to_string(list_slice(tk, i*3+1, i*3+3), ' '))
+            ELSE [] END AS sps
+            FROM base),
+        e AS (
+            SELECT doc_id, pos, sps[pos] AS s FROM (
+                SELECT doc_id, sps,
+                       unnest(generate_series(1, len(sps))) AS pos
+                FROM sp)),
+        hot AS (
+            SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS df
+                           FROM e GROUP BY s)
+            WHERE df > 2),
+        kept AS (SELECT * FROM e WHERE s NOT IN (SELECT s FROM hot)),
+        rebuilt AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                   string_agg(s, ' ' ORDER BY pos) AS cleaned_text
+            FROM kept GROUP BY doc_id)
+        SELECT sp.doc_id, CAST(len(sp.sps) AS BIGINT) AS n_spans,
+               coalesce(r.n_kept, 0) AS n_kept,
+               coalesce(r.cleaned_text, '') AS cleaned_text
+        FROM sp LEFT JOIN rebuilt r ON sp.doc_id = r.doc_id
+    """,
     "q58_repetition_stats": f"""
         WITH base AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
         g AS (
@@ -2006,6 +2047,7 @@ def all_queries():
         "q58_repetition_stats": q58_repetition_stats,
         "q59_decontaminate": q59_decontaminate,
         "q60_stratified_sample": q60_stratified_sample,
+        "q61_boilerplate_removal": q61_boilerplate_removal,
     }
 
 

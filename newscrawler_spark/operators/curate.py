@@ -112,3 +112,65 @@ def stratified_sample(
     return documents.withColumn("sample_key", key).where(
         F.col("sample_key") < thr
     )
+
+
+def boilerplate_span_removal(
+    documents: DataFrame,
+    span: int = 3,
+    max_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Global boilerplate removal, C4-style: drop every ``span``-token
+    chunk that occurs in more than ``max_df`` documents, rebuild each
+    text from its surviving chunks in original order.
+
+    Returns (doc_id, n_spans, n_kept, cleaned_text). Scale shape: one
+    explode + groupBy for the global span document-frequencies
+    (O(tokens) shuffle); the HOT span set (df > max_df) is tiny by
+    definition — boilerplate is rare as a distinct string — so the drop
+    is a broadcast anti-join; one groupBy(doc) rebuild shuffle. Nothing
+    is quadratic and no driver-side state beyond the broadcast.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(span))).cast("int")
+    spans = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * span + 1, span)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = documents.select(F.col(id_col), spans.alias("sps"))
+    e = base.select(
+        id_col, F.posexplode("sps").alias("pos", "s")
+    )
+    hot = (
+        e.groupBy("s")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .where(F.col("df") > max_df)
+        .select("s")
+    )
+    kept = e.join(F.broadcast(hot), "s", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda x: x["s"],
+            ),
+        ).alias("cleaned_text"),
+    )
+    return (
+        base.select(id_col, F.size("sps").cast("long").alias("n_spans"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_spans",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )

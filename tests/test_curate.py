@@ -103,3 +103,32 @@ def test_stratified_sample_deterministic_and_monotone(spark):
         df, {"en": 0.5, "de": 1.0, "fr": 0.0}, salt="e1").collect()
         if r.lang == "en"}
     assert salted != by_lang["en"]
+
+
+def test_boilerplate_span_removal(spark):
+    from newscrawler_spark.operators.curate import boilerplate_span_removal
+
+    banner = "subscribe to our newsletter"   # 4 tokens: spans differ by pos
+    df = spark.createDataFrame(
+        [
+            (0, f"{banner} alpha story one today"),
+            (1, f"{banner} beta tale two tomorrow"),
+            (2, f"{banner} gamma piece three yesterday"),
+            (3, f"{banner} delta item four never"),
+            (4, "clean document with no banner at all present"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in
+           boilerplate_span_removal(df, span=3, max_df=2).collect()}
+    # the shared leading chunk "subscribe to our" (df=4 > 2) is dropped
+    # from every carrier; per-doc tails survive
+    for i in range(4):
+        assert got[i].n_kept == got[i].n_spans - 1
+        assert not got[i].cleaned_text.startswith("subscribe")
+        assert "newsletter" in got[i].cleaned_text  # chunk 2 is per-doc
+    # order preserved on the clean doc, text unchanged
+    assert got[4].cleaned_text == "clean document with no banner at all present"
+    assert got[4].n_kept == got[4].n_spans
+    assert (got[5].n_spans, got[5].n_kept, got[5].cleaned_text) == (0, 0, "")
