@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "q60_stratified_sample",
     # r4: C4-style global boilerplate-span removal with ordered rebuild
     "q61_boilerplate_removal",
+    # r4: GPT-style sequence-packing layout (window cumsum per shard)
+    "q62_pack_sequences",
 ]
 
 

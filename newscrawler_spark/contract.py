@@ -779,6 +779,20 @@ def q60_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang", "sample_key")
 
 
+def q62_pack_sequences(spark, sf_dir):
+    """GPT-style sequence-packing plan (shards.pack_sequences): per
+    shard, documents concatenate into one token stream in the pinned
+    (hash, id) order; start_offset = window cumsum of token counts,
+    seq_id = floor(start_offset / 256). Oracle recomputes assignment,
+    order, token counts, and the cumulative sum — a hash match pins the
+    exact packed layout a trainer would read."""
+    from newscrawler_spark.operators.shards import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), budget=256, n_shards=8
+    ).select("doc_id", "shard", "n_tokens", "start_offset", "seq_id")
+
+
 def q61_boilerplate_removal(spark, sf_dir):
     """C4-style global boilerplate removal (curate.
     boilerplate_span_removal): every 3-token chunk occurring in > 2
@@ -1841,6 +1855,23 @@ TRAINING_ORACLES = {
             FROM exact)
         WHERE rank <= 5
     """,
+    "q62_pack_sequences": f"""
+        WITH a AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5('|' || doc_id::VARCHAR), 1, 14))::BIGINT AS h,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+            FROM documents),
+        b AS (
+            SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard, h, n_tokens,
+                   sum(n_tokens) OVER (
+                       PARTITION BY h % 8 ORDER BY h, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM a)
+        SELECT doc_id, shard, n_tokens,
+               cum - n_tokens AS start_offset,
+               CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS seq_id
+        FROM b
+    """,
     "q61_boilerplate_removal": f"""
         WITH base AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
         sp AS (
@@ -2048,6 +2079,7 @@ def all_queries():
         "q59_decontaminate": q59_decontaminate,
         "q60_stratified_sample": q60_stratified_sample,
         "q61_boilerplate_removal": q61_boilerplate_removal,
+        "q62_pack_sequences": q62_pack_sequences,
     }
 
 

@@ -172,3 +172,47 @@ def read_training_shards(spark: SparkSession, path: str) -> DataFrame:
             "the writer did not finish"
         )
     return spark.read.parquet(path)
+
+
+def pack_sequences(
+    documents: DataFrame,
+    budget: int = 2048,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "",
+) -> DataFrame:
+    """GPT-style sequence packing plan: concatenate each shard's
+    documents (in the pinned global-shuffle order) into one token
+    stream and chop it into ``budget``-token training sequences —
+    documents may straddle a boundary, exactly like block-packed LM
+    pretraining.
+
+    Returns (doc_id, shard, n_tokens, start_offset, seq_id): the doc's
+    first token lands at ``start_offset`` in its shard's stream, inside
+    sequence ``seq_id = floor(start_offset / budget)``. Deterministic and
+    closed-form — a per-shard window cumulative sum over the same
+    (hash, id) order the shard writer pins on disk, so a trainer can
+    compute byte ranges without materializing the packed stream.
+
+    Scale: one hash shuffle (the shard assignment) + a per-shard window
+    sort the writer performs anyway; no second pass over the text.
+    """
+    from newscrawler_spark.operators.dedup import tokens_expr
+
+    a = assign_shards(documents, n_shards, id_col, salt).withColumn(
+        "n_tokens", F.size(tokens_expr(text_col)).cast("long")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("shuffle_hash", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return a.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        (cum - F.col("n_tokens")).alias("start_offset"),
+        F.floor((cum - F.col("n_tokens")) / F.lit(budget)).alias("seq_id"),
+    )

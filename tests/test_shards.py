@@ -121,3 +121,36 @@ def test_salt_repermutes_but_still_partitions(spark, docs):
     c2 = {r.shard: r.order_checksum
           for r in shard_summary(docs, N, salt="epoch-1").collect()}
     assert c1 != c2
+
+
+def test_pack_sequences_layout(spark):
+    from newscrawler_spark.operators.shards import assign_shards, pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(10 + i % 7))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    got = pack_sequences(df, budget=32, n_shards=4).collect()
+    assert len(got) == 60
+    by_shard = {}
+    for r in got:
+        by_shard.setdefault(r.shard, []).append(r)
+    order_ref = {
+        r.doc_id: (r.shard, r.shuffle_hash)
+        for r in assign_shards(df, 4).collect()
+    }
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.start_offset)
+        # stream is gapless: each doc starts where the previous ended
+        off = 0
+        for r in rows:
+            assert r.start_offset == off
+            assert r.seq_id == off // 32
+            assert order_ref[r.doc_id][0] == shard
+            off += r.n_tokens
+        # and the order is the pinned (hash, id) order
+        hashes = [order_ref[r.doc_id][1] for r in rows]
+        assert hashes == sorted(hashes)
+    # docs can straddle sequence boundaries (that's the point)
+    assert any(r.start_offset // 32 != (r.start_offset + r.n_tokens - 1) // 32
+               for r in got)
