@@ -932,13 +932,16 @@ def q48_media_pixel_stats(spark, sf_dir):
     feature tier): media_stats runs zlib-inflate + de-filter on PNG,
     raw-row extraction on BMP, a from-scratch GIF LZW decoder, and PCM
     int16 decode on WAV — over structurally valid files whose payloads
-    follow closed-form fill rules in the media id (gen_filled_media).
-    The DuckDB oracle regenerates every pixel/sample value from those
-    rules with unnest(generate_series(...)) and computes the identical
-    statistics (exact int sums → one double division / sqrt), sharing
-    zero decode code with the engine — a single wrong pixel anywhere in
-    the LZW/de-filter/padding logic breaks the hash. JPEG/MP4 payloads
-    (codec-lib territory) are pinned to n_vals=0 + null stats."""
+    follow closed-form fill rules in the media id (gen_filled_media),
+    and — r4b — a from-scratch baseline-JPEG entropy decoder
+    over REAL entropy-coded flat-block JPEGs (Huffman DC diffs, 0xFF00
+    un-stuffing; integer-exact by construction). The DuckDB oracle
+    regenerates every pixel/sample value from the id rules with
+    unnest(generate_series(...)) and computes the identical statistics
+    (exact int sums → one double division / sqrt), sharing zero decode
+    code with the engine — a single wrong pixel anywhere in the
+    LZW/de-filter/Huffman logic breaks the hash. MP4 codec payloads
+    (genuinely codec-lib territory) are pinned to n_vals=0 + nulls."""
     from newscrawler_spark.operators.multimodal import (
         gen_filled_media,
         media_stats,
@@ -960,18 +963,20 @@ _Q48_ORACLE = """
         16 + i % 97 AS w, 16 + (i * 7) % 59 AS h,
         1000 * (1 + i % 40) AS nsamp, 3 + i % 5 AS k
       FROM d),
-    xs AS (SELECT i, codec, h, unnest(generate_series(0, w - 1)) AS x
-           FROM dims WHERE kind = 'image' AND codec <> 'jpeg'),
-    xys AS (SELECT i, codec, x, unnest(generate_series(0, h - 1)) AS y
+    xs AS (SELECT i, codec, w, h, k, unnest(generate_series(0, w - 1)) AS x
+           FROM dims WHERE kind = 'image'),
+    xys AS (SELECT i, codec, w, k, x, unnest(generate_series(0, h - 1)) AS y
             FROM xs),
     img AS (
       SELECT i,
         CASE codec WHEN 'png' THEN (x + 2*y + i) % 251
                    WHEN 'gif' THEN 60*((x + y + i) % 4) + 10*c
+                   WHEN 'jpeg' THEN
+                     (((y // 8) * ((w + 7) // 8) + (x // 8)) * k + i) % 256
                    ELSE (3*x + c + 7*y + i) % 251 END AS v
-      FROM (SELECT i, codec, x, y,
+      FROM (SELECT i, codec, w, k, x, y,
               unnest(generate_series(
-                  0, CASE WHEN codec = 'png' THEN 0 ELSE 2 END)) AS c
+                  0, CASE WHEN codec IN ('png', 'jpeg') THEN 0 ELSE 2 END)) AS c
             FROM xys) q),
     wav AS (
       SELECT i, ((t * k + i) % 401) - 200 AS v, t
@@ -1030,17 +1035,19 @@ _Q54_ORACLE = """
             WHEN 0 THEN list_extract(['png', 'gif', 'bmp', 'jpeg'],
                                      ((i // 3) % 4) + 1)
             WHEN 1 THEN 'wav/pcm' ELSE 'mp4' END AS codec,
-        16 + i % 97 AS w, 16 + (i * 7) % 59 AS h
+        16 + i % 97 AS w, 16 + (i * 7) % 59 AS h, 3 + i % 5 AS k
       FROM d),
-    us AS (SELECT i, codec, w, h, unnest(generate_series(0, 7)) AS u
-           FROM dims WHERE kind = 'image' AND codec <> 'jpeg'),
-    grid AS (SELECT i, codec, w, h, u, unnest(generate_series(0, 5)) AS v
+    us AS (SELECT i, codec, w, h, k, unnest(generate_series(0, 7)) AS u
+           FROM dims WHERE kind = 'image'),
+    grid AS (SELECT i, codec, w, h, k, u, unnest(generate_series(0, 5)) AS v
              FROM us),
     px AS (
       SELECT i, u, v,
         CASE codec
           WHEN 'png' THEN (sx + 2*sy + i) % 251
           WHEN 'gif' THEN 60*((sx + sy + i) % 4) + 10
+          WHEN 'jpeg' THEN
+            (((sy // 8) * ((w + 7) // 8) + (sx // 8)) * k + i) % 256
           ELSE CASE WHEN b <= 248 THEN b + 1
                     WHEN b = 249 THEN 166 ELSE 83 END
         END AS val

@@ -278,3 +278,15 @@ def make_mp4(width: int, height: int, n_frames: int, fps: int = 25) -> bytes:
     trak = box(b"trak", tkhd + mdia)
     moov = box(b"moov", mvhd + trak)
     return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+
+def make_jpeg(width: int, height: int, fill_seed: int | None = None) -> bytes:
+    """REAL baseline grayscale JPEG (decodable, not just a header): flat
+    8x8 blocks, all-ones quant table, standard DC + minimal AC Huffman
+    tables — integer-exact round trip with media_pixels.decode_jpeg_gray.
+    Block b (row-major over the ceil(w/8) x ceil(h/8) grid) has value
+    ((b*(3 + s%5) + s) % 256) for fill_seed=s, or flat 128 when None.
+    Implemented next to its decoder (shared Huffman machinery)."""
+    from newscrawler_spark.functions.media_pixels import make_jpeg as _mk
+
+    return _mk(width, height, fill_seed)

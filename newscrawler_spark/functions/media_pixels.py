@@ -11,9 +11,14 @@ the formats whose payloads are decodable without PIL/ffmpeg:
   the matching encoder used by the test/oracle generators.
 - WAV  16-bit PCM: ``numpy.frombuffer`` over the data chunk.
 
-JPEG entropy decode and MP4 codec payloads genuinely need codec libs and
-stay out of scope: callers get ``None`` values (never a raise) and the
-feature column is null for those rows.
+- JPEG baseline grayscale, flat-block (DC-only) class: a from-scratch
+  entropy codec — canonical Huffman build, bit-level scan reader with
+  0xFF00 un-stuffing, DC-difference decode — exact for the files
+  ``make_jpeg`` emits (see the JPEG section below). General JPEGs
+  (color, progressive, nonzero AC, restart markers) and MP4 codec
+  payloads genuinely need codec libs and stay out of scope: callers get
+  ``None`` values (never a raise) and the feature column is null for
+  those rows.
 
 Everything here runs inside Arrow batches on executors; blobs never
 escape the batch. Kernels are per-document Python like the HTML
@@ -307,4 +312,245 @@ def decode_wav_samples(blob: bytes) -> np.ndarray | None:
             i += 8 + csize + (csize & 1)
         return None
     except (struct.error, IndexError, ValueError):
+        return None
+
+
+# --------------------------------------------------------------------------
+# Baseline grayscale JPEG — flat-block encoder helpers + DC-only decoder
+# --------------------------------------------------------------------------
+# Flat 8x8 blocks make the DCT DC-only, and an all-ones quant table makes
+# the round trip integer-exact (DC = 8*(v-128), v = DC/8 + 128) — so real
+# entropy-coded JPEG bytes decode back to closed-form pixels the DuckDB
+# oracle can restate, with zero codec libs. The decoder handles exactly
+# the baseline-grayscale EOB-only-AC class the generator emits; anything
+# else (color, progressive, nonzero AC, restart markers) returns None —
+# the honest boundary where a real codec library would take over.
+
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [1] + [0] * 15
+_AC_VALS = [0x00]
+
+
+def _huff_codes(bits, vals):
+    """Canonical JPEG Huffman: symbol -> (code, length)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code, length):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                b = self.acc
+                self.buf.append(b)
+                if b == 0xFF:
+                    self.buf.append(0x00)
+                self.acc, self.n = 0, 0
+
+    def flush(self):
+        while self.n:
+            self.put(1, 1)
+        return bytes(self.buf)
+
+
+def _dht(cls, tid, bits, vals):
+    payload = bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+
+def make_jpeg(width, height, fill_seed=None):
+    """REAL baseline grayscale JPEG. Each 8x8 block is FLAT, so the DCT
+    is DC-only and (with an all-ones quant table) the round trip is
+    integer-exact. Block b (row-major over ceil-grids) has value
+    ((b*(3 + s%5) + s) % 256) for fill_seed=s, or 128 when None."""
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    if fill_seed is None:
+        vals = [128] * (bw * bh)
+    else:
+        k = 3 + fill_seed % 5
+        vals = [((b * k + fill_seed) % 256) for b in range(bw * bh)]
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    w = _BitWriter()
+    prev = 0
+    for v in vals:
+        dc = 8 * (v - 128)
+        diff = dc - prev
+        prev = dc
+        t = abs(diff).bit_length()
+        w.put(*dc_codes[t])
+        if t:
+            w.put(diff if diff > 0 else diff + (1 << t) - 1, t)
+        w.put(*ac_codes[0x00])  # EOB: no AC coefficients
+    scan = w.flush()
+    app0 = (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00"
+            + struct.pack(">HH", 72, 72) + b"\x00\x00")
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", height, width)
+            + b"\x01" + b"\x01\x11\x00")  # Nf=1; comp: Cid=1 HV=1x1 Tq=0
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+    return (b"\xff\xd8" + app0 + dqt + sof0
+            + _dht(0, 0, _DC_BITS, _DC_VALS) + _dht(1, 0, _AC_BITS, _AC_VALS)
+            + sos + scan + b"\xff\xd9")
+
+
+class _BitReader:
+    def __init__(self, data):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self):
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                return None
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    return None
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1
+                else:
+                    return None  # marker inside scan
+            self.acc, self.n = b, 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, t):
+        v = 0
+        for _ in range(t):
+            b = self.bit()
+            if b is None:
+                return None
+            v = (v << 1) | b
+        return v
+
+
+def _build_decode(bits, vals):
+    """(code, length) -> symbol, as a dict keyed by (length, code)."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _decode_sym(r, table):
+    code, length = 0, 0
+    while length < 16:
+        b = r.bit()
+        if b is None:
+            return None
+        code = (code << 1) | b
+        length += 1
+        if (length, code) in table:
+            return table[(length, code)]
+    return None
+
+
+def decode_jpeg_gray(blob):
+    """DC-only decode of a baseline GRAYSCALE JPEG whose blocks carry no
+    AC coefficients (make_jpeg's class): returns the exact flat-block
+    image. Anything else (progressive, color, nonzero AC, restart
+    markers, arithmetic coding) -> None, never a raise."""
+    try:
+        if blob[:2] != b"\xff\xd8":
+            return None
+        pos, w, h, qdc = 2, None, None, None
+        dc_tab = ac_tab = None
+        scan_at = None
+        while pos + 4 <= len(blob):
+            if blob[pos] != 0xFF:
+                return None
+            m = blob[pos + 1]
+            if m == 0xD9:
+                return None  # EOI before SOS
+            seglen = struct.unpack(">H", blob[pos + 2:pos + 4])[0]
+            seg = blob[pos + 4:pos + 2 + seglen]
+            if m == 0xDB:  # DQT (possibly several tables)
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 15
+                    n = 64 * (2 if pq else 1)
+                    if tq == 0:
+                        qdc = (struct.unpack(">H", seg[i+1:i+3])[0]
+                               if pq else seg[i + 1])
+                    i += 1 + n
+            elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                       0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # non-baseline SOF
+            elif m == 0xC0:  # SOF0
+                if seg[0] != 8 or seg[5] != 1:
+                    return None  # not 8-bit grayscale
+                h, w = struct.unpack(">HH", seg[1:5])
+            elif m == 0xC4:  # DHT (possibly several tables)
+                i = 0
+                while i < len(seg):
+                    cls, tid = seg[i] >> 4, seg[i] & 15
+                    bits = list(seg[i + 1:i + 17])
+                    nv = sum(bits)
+                    vals = list(seg[i + 17:i + 17 + nv])
+                    if tid == 0:
+                        if cls == 0:
+                            dc_tab = _build_decode(bits, vals)
+                        else:
+                            ac_tab = _build_decode(bits, vals)
+                    i += 17 + nv
+            elif m == 0xDD:
+                return None  # DRI: restart markers unsupported
+            elif m == 0xDA:  # SOS
+                if seg[0] != 1:
+                    return None
+                scan_at = pos + 2 + seglen
+                break
+            pos += 2 + seglen
+        if None in (w, h, qdc, scan_at) or dc_tab is None or ac_tab is None:
+            return None
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        r = _BitReader(blob[scan_at:])
+        dc, blocks = 0, []
+        for _ in range(bw * bh):
+            t = _decode_sym(r, dc_tab)
+            if t is None or t > 11:
+                return None
+            if t:
+                v = r.bits(t)
+                if v is None:
+                    return None
+                diff = v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+            else:
+                diff = 0
+            dc += diff
+            sym = _decode_sym(r, ac_tab)
+            if sym != 0x00:
+                return None  # nonzero AC: not the flat-block class
+            px = dc * qdc / 8.0 + 128.0
+            blocks.append(min(255, max(0, int(round(px)))))
+        img = np.zeros((h, w), dtype=np.uint8)
+        for b, v in enumerate(blocks):
+            by, bx = divmod(b, bw)
+            img[by * 8:min(by * 8 + 8, h), bx * 8:min(bx * 8 + 8, w)] = v
+        return img
+    except (IndexError, struct.error, ValueError):
         return None

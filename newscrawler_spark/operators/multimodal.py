@@ -135,10 +135,11 @@ def _real_values(kind: str, blob: bytes):
     """(codec, flat int value array | None) for the REAL decode tier.
 
     Decodable without codec libs: PNG gray pixels, BMP channel bytes,
-    GIF palette-mapped RGB bytes (from-scratch LZW), WAV int16 samples.
-    JPEG entropy data and MP4 codec payloads are not — those rows keep
-    their codec label and get None values (null stats/features), never
-    a raise.
+    GIF palette-mapped RGB bytes (from-scratch LZW), WAV int16 samples,
+    and baseline-grayscale flat-block JPEGs (from-scratch entropy
+    decode, media_pixels.decode_jpeg_gray). General JPEGs and MP4 codec
+    payloads are not — those rows keep their codec label and get None
+    values (null stats/features), never a raise.
     """
     from newscrawler_spark.functions import media_headers as mh
     from newscrawler_spark.functions import media_pixels as mp
@@ -151,6 +152,9 @@ def _real_values(kind: str, blob: bytes):
             return codec, mp.decode_bmp_pixels(blob)
         if codec == "gif":
             return codec, mp.decode_gif_pixels(blob)
+        if codec == "jpeg":
+            img = mp.decode_jpeg_gray(blob)
+            return codec, None if img is None else img.reshape(-1)
         return codec, None
     if kind == "audio":
         _d, _c, _r, codec = mh.parse_wav(blob)
@@ -274,6 +278,9 @@ def _gray_matrix(codec: str, blob: bytes, w: int, h: int):
             return None
         gray = flat.reshape(h, w, 3).astype(np.int64).sum(axis=2) // 3
         return gray[::-1] if codec == "bmp" else gray
+    if codec == "jpeg":
+        img = mp.decode_jpeg_gray(blob)
+        return None if img is None else img.astype(np.int64)
     return None
 
 
@@ -284,8 +291,9 @@ def resize_media(media: DataFrame, out_w: int = 8, out_h: int = 6) -> DataFrame:
     output byte is closed-form recomputable from the fixture fill rules
     (driver q54). ``pixels`` is the row-major out_h×out_w uint8 thumb;
     ``p_checksum = Σ v_i·(i+1)`` pins byte order, ``p_first``/``p_last``
-    the corners. Formats needing codec libs (JPEG) and non-images keep
-    their codec label with null pixels/stats — never a raise.
+    the corners. Images outside the decodable class (general JPEGs) and
+    non-images keep their codec label with null pixels/stats — never a
+    raise.
 
     Scale shape: identical to media_stats — blobs cross Arrow once,
     per-row numpy kernel, no shuffle, fixed out_w·out_h bytes out."""
@@ -303,7 +311,7 @@ def resize_media(media: DataFrame, out_w: int = 8, out_h: int = 6) -> DataFrame:
                     in_w, in_h, codec = mh.parse_image(blob)
                     img = (
                         _gray_matrix(codec, blob, in_w, in_h)
-                        if codec in ("png", "gif", "bmp")
+                        if codec in ("png", "gif", "bmp", "jpeg")
                         and in_w and in_h else None
                     )
                     if img is not None:
@@ -395,7 +403,10 @@ def gen_filled_media(spark, n: int = 60) -> DataFrame:
       60*((x+y+i)%4) + 10*c  (4-entry palette, LZW-coded indices)
     - bmp  (i%3==0, (i//3)%4==2): byte at (x,file-row y,c) =
       (3x + c + 7y + i) % 251
-    - jpeg (i%3==0, (i//3)%4==3): header-only → no values (null stats)
+    - jpeg (i%3==0, (i//3)%4==3): REAL baseline grayscale flat-block
+      JPEG — pixel(x,y) = (b*(3 + i%5) + i) % 256 with
+      b = (y//8)*ceil(w/8) + (x//8) (entropy-coded; decoded by the
+      from-scratch DC codec in media_pixels)
     - wav  (i%3==1): sample(t) = ((t*(3 + i%5) + i) % 401) - 200,
       n_samples = 1000*(1 + i%40)  (duration (1+i%40)/8 s at 8 kHz)
     - mp4  (i%3==2): codec payload → no values (null stats)
@@ -403,8 +414,7 @@ def gen_filled_media(spark, n: int = 60) -> DataFrame:
     from newscrawler_spark.functions import media_headers as mh
 
     rows = []
-    img_makers = [mh.make_png, mh.make_gif, mh.make_bmp,
-                  lambda w, h, fill_seed: mh.make_jpeg_header(w, h)]
+    img_makers = [mh.make_png, mh.make_gif, mh.make_bmp, mh.make_jpeg]
     for i in range(n):
         m = i % 3
         if m == 0:

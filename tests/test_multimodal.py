@@ -169,9 +169,10 @@ def test_pixel_decoders_match_fill_rules():
 
 
 def test_media_stats_real_path(spark):
-    """media_stats over the filled table: exact stats for decodable
-    formats, n_vals=0 + nulls for JPEG/MP4 — and NO NotImplementedError
-    anywhere on the real path (VERDICT r3 #3)."""
+    """media_stats over the filled table: exact stats for every
+    decodable format (incl. the real flat-block JPEGs), n_vals=0 + nulls
+    for MP4 codec payloads — and NO NotImplementedError anywhere on the
+    real path (VERDICT r3 #3)."""
     from newscrawler_spark.operators.multimodal import (
         gen_filled_media,
         media_stats,
@@ -181,10 +182,21 @@ def test_media_stats_real_path(spark):
             media_stats(gen_filled_media(spark, n=30)).collect()}
     assert len(rows) == 30
     for i, r in rows.items():
-        if i % 3 == 2 or (i % 3 == 0 and (i // 3) % 4 == 3):   # mp4 / jpeg
+        if i % 3 == 2:                                          # mp4
             assert r.n_vals == 0 and r.v_mean is None and r.v_rms is None
             continue
         assert r.n_vals > 0 and r.v_rms is not None
+        if i % 3 == 0 and (i // 3) % 4 == 3:                    # real jpeg
+            w, h = 16 + i % 97, 16 + (i * 7) % 59
+            bw, k = (w + 7) // 8, 3 + i % 5
+            a = np.array(
+                [(((y // 8) * bw + (x // 8)) * k + i) % 256
+                 for y in range(h) for x in range(w)], dtype=np.int64)
+            assert r.n_vals == w * h
+            assert r.v_mean == a.sum() / a.size
+            assert r.v_rms == float(np.sqrt((a * a).sum() / a.size))
+            assert (r.v_min, r.v_max) == (int(a.min()), int(a.max()))
+            continue
         if i % 3 == 1:                                          # wav
             n = 1000 * (1 + i % 40)
             k = 3 + i % 5
@@ -199,15 +211,15 @@ def test_media_stats_real_path(spark):
 
 
 def test_extract_features_real_tier(spark):
-    """Real 8-dim stats features for PNG/BMP/GIF/WAV; null feature (not
-    a raise) for JPEG/MP4 payloads."""
+    """Real 8-dim stats features for PNG/BMP/GIF/JPEG/WAV; null feature
+    (not a raise) for MP4 codec payloads."""
     from newscrawler_spark.operators.multimodal import gen_filled_media
 
     rows = {r.media_id: r for r in
             extract_features(gen_filled_media(spark, n=30)).collect()}
     assert len(rows) == 30
     for i, r in rows.items():
-        if i % 3 == 2 or (i % 3 == 0 and (i // 3) % 4 == 3):
+        if i % 3 == 2:
             assert r.feature is None
             continue
         assert r.feature is not None and len(r.feature) == 8
@@ -257,10 +269,15 @@ def test_resize_media_exact_bytes(spark):
         b = (3 * sx + 7 * (h - 1 - sy) + i) % 251
         return b + 1 if b <= 248 else (166 if b == 249 else 83)
 
+    def jpeg_gray(i, sx, sy):
+        w, _h = dims(i)
+        return (((sy // 8) * ((w + 7) // 8) + (sx // 8)) * (3 + i % 5) + i) % 256
+
     exp = {
         0: thumb(0, lambda i, sx, sy: (sx + 2 * sy + i) % 251),       # png
         3: thumb(3, lambda i, sx, sy: 60 * ((sx + sy + i) % 4) + 10),  # gif
         6: thumb(6, bmp_gray),                                         # bmp
+        9: thumb(9, jpeg_gray),                                        # jpeg
     }
     for i, want in exp.items():
         r = rows[i]
@@ -270,9 +287,7 @@ def test_resize_media_exact_bytes(spark):
         assert r.p_checksum == sum(v * (k + 1) for k, v in enumerate(want))
         assert r.p_mean == sum(want) / 48
         assert (r.in_w, r.in_h) == dims(i)
-    jpeg = rows[9]
-    assert jpeg.codec == "jpeg" and jpeg.pixels is None
-    assert (jpeg.in_w, jpeg.in_h) == dims(9)
+    assert rows[9].codec == "jpeg" and (rows[9].in_w, rows[9].in_h) == dims(9)
     assert rows[1].codec == "wav/pcm" and rows[1].pixels is None
     assert rows[2].codec == "mp4" and rows[2].pixels is None
 
@@ -290,3 +305,32 @@ def test_resize_media_malformed_blobs_null(spark):
     got = {r.media_id: r for r in resize_media(junk).collect()}
     assert len(got) == 4
     assert all(r.pixels is None and r.p_sum is None for r in got.values())
+
+
+def test_jpeg_codec_roundtrip_exact():
+    """The from-scratch baseline-JPEG codec: every (dims, seed) combo
+    round-trips integer-exactly through real entropy-coded bytes;
+    out-of-class and malformed inputs return None, never raise."""
+    from newscrawler_spark.functions.media_pixels import (
+        decode_jpeg_gray,
+        make_jpeg,
+    )
+
+    for w, h, s in [(8, 8, None), (16, 16, 0), (17, 19, 5), (25, 20, 9),
+                    (112, 70, 41), (9, 65, 13)]:
+        img = decode_jpeg_gray(make_jpeg(w, h, s))
+        assert img is not None and img.shape == (h, w), (w, h, s)
+        bw = (w + 7) // 8
+        for y in range(0, h, 7):
+            for x in range(0, w, 5):
+                b = (y // 8) * bw + (x // 8)
+                want = 128 if s is None else (b * (3 + s % 5) + s) % 256
+                assert img[y, x] == want, (w, h, s, x, y)
+    assert decode_jpeg_gray(b"") is None
+    assert decode_jpeg_gray(b"\xff\xd8\xff\xd9") is None
+    assert decode_jpeg_gray(make_jpeg(16, 16, 3)[:40]) is None
+    assert decode_jpeg_gray(b"GIF89a" + bytes(30)) is None
+    # the header-only tier (q46's jpeg blobs) is out of the decodable
+    # class and must yield None, not a raise
+    from newscrawler_spark.functions.media_headers import make_jpeg_header
+    assert decode_jpeg_gray(make_jpeg_header(20, 30)) is None
