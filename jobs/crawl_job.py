@@ -28,7 +28,8 @@ def load_pages(spark, path: str, fmt: str = "auto"):
 
     ``auto`` picks WARC when the path names ``.warc``/``.warc.gz`` files
     (extension or glob) — works for object-store URIs without listing.
-    A directory of shards reads as ``<dir>/*.warc.gz``.
+    A directory of shards reads as ``<dir>/*.warc*`` (matches both
+    .warc and .warc.gz).
     """
     if fmt == "auto":
         fmt = "warc" if ".warc" in path.rsplit("/", 1)[-1] else "parquet"
@@ -36,7 +37,7 @@ def load_pages(spark, path: str, fmt: str = "auto"):
         from newscrawler_spark.sources.warc import pages_from_warc
 
         pat = path if ".warc" in path.rsplit("/", 1)[-1] \
-            else path.rstrip("/") + "/*.warc.gz"
+            else path.rstrip("/") + "/*.warc*"
         return pages_from_warc(spark, pat)
     return spark.read.parquet(path)
 

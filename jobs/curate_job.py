@@ -69,7 +69,11 @@ def load_documents(spark, path: str, kind: str = "auto"):
     pages/WARC corpora flow through the SAME canon + Arrow extraction
     stages the crawl uses (enrich_pages → extract_articles), so the
     curated text is the engine's extracted article text, and doc_id is
-    the url_hash — stable across re-ingests of the same corpus.
+    the url_hash — stable across re-ingests, and UNIQUE: enrich_pages
+    collapses duplicate captures/spellings to one row per url_hash. A
+    user-supplied documents table is trusted to carry unique doc_ids
+    (the usual contract for a curation input; duplicate ids would fan
+    out through the annotation joins).
     """
     from pyspark.sql import functions as F
 
@@ -80,8 +84,9 @@ def load_documents(spark, path: str, kind: str = "auto"):
     if kind == "warc":
         from newscrawler_spark.sources.warc import pages_from_warc
 
+        # a shard dir may hold .warc or .warc.gz files — match both
         pat = path if ".warc" in path.rstrip("/").rsplit("/", 1)[-1] \
-            else path.rstrip("/") + "/*.warc.gz"
+            else path.rstrip("/") + "/*.warc*"
         pages = pages_from_warc(spark, pat)
     else:
         pages = spark.read.parquet(path)
@@ -114,6 +119,10 @@ def main(argv=None) -> None:
     spark = get_spark(master=args.master, app_name="curate")
     try:
         docs, kind = load_documents(spark, args.input, args.input_kind)
+        # the extraction chain behind `docs` is expensive (WARC parse +
+        # Arrow HTML extraction); it feeds the curation chain, the
+        # annotation join, AND the summary count — materialize it once
+        docs = docs.persist()
         surviving = curate_corpus(
             docs,
             quality_min=args.quality_min,
@@ -131,6 +140,7 @@ def main(argv=None) -> None:
             "salt": man["salt"],
             "out": args.out,
         }))
+        docs.unpersist()
     finally:
         if preexisting is None:
             spark.stop()

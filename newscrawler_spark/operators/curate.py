@@ -127,14 +127,17 @@ def boilerplate_span_removal(
 
     Returns (doc_id, n_spans, n_kept, cleaned_text). Scale shape: one
     explode + groupBy for the global span document-frequencies
-    (O(tokens) shuffle); the HOT span set (df > max_df) is tiny by
-    definition — boilerplate is rare as a distinct string — so the drop
-    is a broadcast anti-join; one groupBy(doc) rebuild shuffle. Nothing
-    is quadratic and no driver-side state beyond the broadcast.
+    (O(tokens) shuffle); the drop is an anti-join against the hot span
+    set (df > max_df) — usually small (boilerplate is rare as a
+    distinct string), but unbounded in principle at aggressive max_df on
+    a web corpus, so the join STRATEGY is left to Catalyst/AQE
+    (broadcast when it fits, shuffled hash join otherwise) rather than
+    forced; one groupBy(doc) rebuild shuffle. Nothing is quadratic and
+    no mandatory driver-side state.
     """
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
-    )
+    from newscrawler_spark.operators.dedup import tokens_expr
+
+    toks = tokens_expr(text_col)
     n_chunks = F.ceil(F.size(toks) / F.lit(float(span))).cast("int")
     spans = F.when(
         F.size(toks) > 0,
@@ -153,7 +156,7 @@ def boilerplate_span_removal(
         .where(F.col("df") > max_df)
         .select("s")
     )
-    kept = e.join(F.broadcast(hot), "s", "left_anti")
+    kept = e.join(hot, "s", "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_kept"),
         F.concat_ws(

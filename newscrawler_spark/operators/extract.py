@@ -79,12 +79,19 @@ def articles_as_of(articles: DataFrame, as_of) -> DataFrame:
 
     ``as_of`` is a Column/literal timestamp, or a single-row single-column
     DataFrame (broadcast-joined, so a derived cutoff like
-    ``min(download_date)`` stays fully distributed — no collect). Plan:
-    one filter + the same per-url window as with_is_current; versions
-    newer than the cutoff are invisible, urls with no version yet are
-    absent.
+    ``min(download_date)`` joins without ever entering the articles
+    plan's driver path). A multi-row cutoff frame would silently
+    cartesian-multiply the table, so it is validated loudly (the cutoff
+    frame is tiny by contract — evaluating it once for the check is
+    negligible). Plan: one filter + the same per-url window as
+    with_is_current; versions newer than the cutoff are invisible, urls
+    with no version yet are absent.
     """
     if isinstance(as_of, DataFrame):
+        if len(as_of.columns) != 1:
+            raise ValueError("as_of DataFrame must have exactly one column")
+        if len(as_of.limit(2).collect()) != 1:
+            raise ValueError("as_of DataFrame must have exactly one row")
         cutcol = as_of.columns[0]
         filt = (
             articles.join(F.broadcast(as_of))

@@ -94,7 +94,15 @@ def shard_summary(
     flips it; XOR-aggregation can never overflow. Deterministic and
     reproducible in ANSI SQL (q55).
     """
-    a = assign_shards(documents, n_shards, id_col, salt, with_pos=True)
+    a = assign_shards(documents, n_shards, id_col, salt)
+    return _pinned_summary(a, id_col)
+
+
+def _pinned_summary(assigned: DataFrame, id_col: str) -> DataFrame:
+    """Summary over rows that already carry (shard, shuffle_hash): rank
+    under the pinned order, fold (hash, pos) per row with XOR."""
+    w = Window.partitionBy("shard").orderBy("shuffle_hash", id_col)
+    a = assigned.withColumn("pos", F.row_number().over(w) - F.lit(1))
     mix = _base56(
         F.concat_ws(
             ":",
@@ -125,7 +133,15 @@ def write_training_shards(
     sorted per partition by (shard, shuffle_hash, id) so each shard file
     carries the pinned order even when hash-partitioning co-locates two
     shards in one task. Manifest (counts + order checksums + salt) is the
-    commit marker, written last + atomically. Returns the manifest dict.
+    commit marker, written last + atomically — and it is computed FROM
+    THE WRITTEN FILES, not by re-evaluating the (possibly expensive)
+    input lineage a second time, so the committed checksums describe
+    exactly the bytes on disk. Returns the manifest dict.
+
+    Filesystem note (same contract as store.py/sources/warc.py): the
+    manifest commit uses local ``open``+rename — correct on local and
+    any POSIX-shared FS; an object-store deployment swaps those two
+    calls for the storage client, nothing else changes.
     """
     a = assign_shards(documents, n_shards, id_col, salt)
     (
@@ -135,7 +151,11 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
-    stats = shard_summary(documents, n_shards, id_col, salt).collect()
+    back = documents.sparkSession.read.parquet(path).select(
+        F.col("shard").cast("int").alias("shard"), "shuffle_hash",
+        F.col(id_col),
+    )
+    stats = _pinned_summary(back, id_col).collect()
     man = {
         "n_shards": n_shards,
         "salt": salt,
