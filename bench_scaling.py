@@ -105,6 +105,14 @@ def main() -> None:
         # a local-cluster master's total cores (n*c) must match the
         # SPARK_GRAFT_SMALL_CORES-derived counts: shuffle_partitions and
         # the /4 in the efficiency estimator are derived from them
+        # plain local[N] masters carry their core count in the master
+        # string — derive small_n/large_n from it so the recorded
+        # small_cores/large_cores labels can never contradict the pair
+        if small_master.startswith("local[") and large_master.startswith("local["):
+            small_n = int(small_master[small_master.find("[") + 1:
+                                       small_master.find("]")])
+            large_n = int(large_master[large_master.find("[") + 1:
+                                       large_master.find("]")])
         for label, m, want in (("small", small_master, small_n),
                                ("large", large_master, large_n)):
             if m.startswith("local-cluster"):
