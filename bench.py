@@ -71,6 +71,8 @@ BENCH_QUERIES = [
     "q61_boilerplate_removal",
     # r4: GPT-style sequence-packing layout (window cumsum per shard)
     "q62_pack_sequences",
+    # r4: PII redaction pass (emails / IPv4 / phone runs, typed tokens)
+    "q63_pii_scrub",
 ]
 
 

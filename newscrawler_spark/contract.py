@@ -807,6 +807,48 @@ def q61_boilerplate_removal(spark, sf_dir):
         _t(spark, sf_dir, "documents"), span=3, max_df=2)
 
 
+def q63_pii_scrub(spark, sf_dir):
+    """PII redaction (textstats.pii_scrub): emails → <EMAIL>, IPv4 →
+    <IP>, phone-like digit runs → <PHONE>, fixed order, counts per kind.
+    The PII-bearing text is CONSTRUCTED closed-form from doc_id on the
+    Spark side (base corpus text carries no digits/@), and the oracle
+    states the expected counts and the full scrubbed text by the same
+    construction WITH ZERO REGEX — so the hash pins the engine's match
+    boundaries and replacement order against ground truth, not against
+    another regex engine's dialect."""
+    from newscrawler_spark.operators.textstats import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents")
+    pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example or +1 555 01"),
+            F.lpad(F.pmod("doc_id", F.lit(10000)).cast("string"), 4, "0"),
+            F.lit(" from 10."),
+            F.pmod("doc_id", F.lit(200)).cast("string"),
+            F.lit(".0."), F.pmod("doc_id", F.lit(13)).cast("string"),
+            F.when(F.pmod("doc_id", F.lit(3)) == 0,
+                   F.lit(" cc bob@ex.org")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(pii)
+
+
+_Q63_ORACLE = """
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT)
+             AS n_emails,
+           CAST(1 AS BIGINT) AS n_ips,
+           CAST(1 AS BIGINT) AS n_phones,
+           text || ' contact <EMAIL> or <PHONE> from <IP>'
+                || CASE WHEN doc_id % 3 = 0 THEN ' cc <EMAIL>' ELSE '' END
+             AS scrubbed_text
+    FROM documents
+"""
+
+
 def q36_quality_stats(spark, sf_dir):
     from newscrawler_spark.operators.textstats import quality_stats
 
@@ -2087,6 +2129,7 @@ def all_queries():
         "q60_stratified_sample": q60_stratified_sample,
         "q61_boilerplate_removal": q61_boilerplate_removal,
         "q62_pack_sequences": q62_pack_sequences,
+        "q63_pii_scrub": q63_pii_scrub,
     }
 
 
@@ -2112,4 +2155,5 @@ def all_oracles():
     out["q53_cdx_ranged_fetch"] = _Q53_ORACLE
     out["q54_media_resize"] = _Q54_ORACLE
     out["q55_training_shards"] = _Q55_ORACLE
+    out["q63_pii_scrub"] = _Q63_ORACLE
     return out

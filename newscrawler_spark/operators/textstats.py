@@ -204,3 +204,40 @@ def repetition_stats(documents: DataFrame, id_col: str = "doc_id",
             "dup3_frac",
         )
     )
+
+
+PII_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_IP_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE_RE = r"\+?\d[\d -]{6,}\d"
+
+
+def pii_scrub(documents: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """PII redaction pass for a training corpus: emails, IPv4 addresses,
+    and phone-like digit runs are counted and replaced with typed
+    placeholder tokens.
+
+    Returns (doc_id, n_emails, n_ips, n_phones, scrubbed_text). Fixed
+    scrub ORDER — emails, then IPs, then phones — each stage matching on
+    the previous stage's output, so an IP inside an email is counted
+    once (as the email) and digit runs freed by earlier redactions can't
+    be double-counted. Pure Catalyst (regexp_extract_all +
+    regexp_replace): JVM-side, one projection, no shuffle — the 100 TB
+    shape is a map stage. Patterns are plain character-class regexes
+    (no backreferences/lookaround) so any regex engine agrees on the
+    matches.
+    """
+    c = F.col(text_col)
+    n_em = F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), 0)).cast("long")
+    t1 = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    n_ip = F.size(F.regexp_extract_all(t1, F.lit(PII_IP_RE), 0)).cast("long")
+    t2 = F.regexp_replace(t1, PII_IP_RE, "<IP>")
+    n_ph = F.size(F.regexp_extract_all(t2, F.lit(PII_PHONE_RE), 0)).cast("long")
+    t3 = F.regexp_replace(t2, PII_PHONE_RE, "<PHONE>")
+    return documents.select(
+        F.col(id_col),
+        n_em.alias("n_emails"),
+        n_ip.alias("n_ips"),
+        n_ph.alias("n_phones"),
+        t3.alias("scrubbed_text"),
+    )

@@ -127,3 +127,42 @@ def test_repetition_stats_plan_is_jvm_only(spark):
     df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
     plan = repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_pii_scrub_cases(spark):
+    from newscrawler_spark.operators.textstats import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail a.b+c@sub.ex.org and d@e.io now"),
+            (1, "server at 192.168.0.1 and 10.0.0.255 up"),
+            (2, "call +1 555-010-4477 or 0800 11 22 33 today"),
+            (3, "clean text with no identifiers at all"),
+            (4, "mixed: x@y.com from 8.8.8.8 tel 555-123-9876"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert got[0].n_emails == 2 and got[0].scrubbed_text == \
+        "mail <EMAIL> and <EMAIL> now"
+    assert got[1].n_ips == 2 and got[1].scrubbed_text == \
+        "server at <IP> and <IP> up"
+    assert got[2].n_phones == 2 and got[2].scrubbed_text == \
+        "call <PHONE> or <PHONE> today"
+    assert (got[3].n_emails, got[3].n_ips, got[3].n_phones) == (0, 0, 0)
+    assert got[3].scrubbed_text == "clean text with no identifiers at all"
+    # fixed order: email first, then IP, then phone — each on the
+    # previous stage's output, no double counting
+    r = got[4]
+    assert (r.n_emails, r.n_ips, r.n_phones) == (1, 1, 1)
+    assert r.scrubbed_text == "mixed: <EMAIL> from <IP> tel <PHONE>"
+    assert got[5].scrubbed_text == "" and got[5].n_emails == 0
+
+
+def test_pii_scrub_plan_is_jvm_only(spark):
+    from newscrawler_spark.operators.textstats import pii_scrub
+
+    df = spark.createDataFrame([(0, "a@b.co")], "doc_id long, text string")
+    plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
