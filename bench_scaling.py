@@ -109,10 +109,19 @@ def main() -> None:
         # string — derive small_n/large_n from it so the recorded
         # small_cores/large_cores labels can never contradict the pair
         if small_master.startswith("local[") and large_master.startswith("local["):
-            small_n = int(small_master[small_master.find("[") + 1:
-                                       small_master.find("]")])
-            large_n = int(large_master[large_master.find("[") + 1:
-                                       large_master.find("]")])
+            sm = small_master[small_master.find("[") + 1:small_master.find("]")]
+            lg = large_master[large_master.find("[") + 1:large_master.find("]")]
+            if sm.isdigit() and lg.isdigit():
+                small_n, large_n = int(sm), int(lg)
+            else:
+                # 'local[*]' carries no explicit core count — the recorded
+                # small/large labels can't be derived from it (ADVICE r4)
+                raise SystemExit(
+                    "SPARK_GRAFT_SCALING_MASTERS local[N] masters must use "
+                    f"explicit integer core counts, got {masters!r}; "
+                    "'local[*]' cannot label the scaling pair — set "
+                    "SPARK_GRAFT_SMALL_CORES and explicit local[N] masters"
+                )
         for label, m, want in (("small", small_master, small_n),
                                ("large", large_master, large_n)):
             if m.startswith("local-cluster"):

@@ -117,6 +117,7 @@ def main(argv=None) -> None:
 
     preexisting = SparkSession.getActiveSession()
     spark = get_spark(master=args.master, app_name="curate")
+    docs = None
     try:
         docs, kind = load_documents(spark, args.input, args.input_kind)
         # the extraction chain behind `docs` is expensive (WARC parse +
@@ -140,8 +141,12 @@ def main(argv=None) -> None:
             "salt": man["salt"],
             "out": args.out,
         }))
-        docs.unpersist()
     finally:
+        # unpersist unconditionally: when main() runs in-process against a
+        # preexisting session (tests / CLI embedding), an exception in
+        # curate/write must not leak the cached DataFrame (ADVICE r4)
+        if docs is not None:
+            docs.unpersist()
         if preexisting is None:
             spark.stop()
 

@@ -92,9 +92,13 @@ def articles_as_of(articles: DataFrame, as_of) -> DataFrame:
             raise ValueError("as_of DataFrame must have exactly one column")
         if len(as_of.limit(2).collect()) != 1:
             raise ValueError("as_of DataFrame must have exactly one row")
-        cutcol = as_of.columns[0]
+        # rename to a reserved internal alias before the join: a caller
+        # whose cutoff column happens to collide with an articles column
+        # (e.g. aliased 'download_date') would otherwise hit an
+        # ambiguous-reference AnalysisException (ADVICE r4)
+        cutcol = "__as_of_cutoff"
         filt = (
-            articles.join(F.broadcast(as_of))
+            articles.join(F.broadcast(as_of.toDF(cutcol)))
             .where(F.col("download_date") <= F.col(cutcol))
             .drop(cutcol)
         )
