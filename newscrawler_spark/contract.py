@@ -849,6 +849,35 @@ _Q63_ORACLE = """
 """
 
 
+def q64_lsh_anchor_edges(spark, sf_dir):
+    """The bounded near-dup DROP path (dedup.minhash_lsh_anchor_edges):
+    every (band, bh) bucket nominates min(doc_id) as anchor, only
+    (anchor, member) candidates are Jaccard-verified — O(docs·bands)
+    candidates at any skew (the round-4 verdict's remaining scale hole,
+    closed). md5-parameterized so the DuckDB oracle rebuilds the exact
+    buckets, anchors, candidate set, and verify."""
+    from newscrawler_spark.operators.dedup import minhash_lsh_anchor_edges
+
+    return minhash_lsh_anchor_edges(
+        _t(spark, sf_dir, "documents"), threshold=0.5, hasher="md5"
+    )
+
+
+def q65_near_dup_clusters(spark, sf_dir):
+    """Transitive near-dup cluster ids (dedup.near_dup_clusters):
+    connected components over the verified anchor-edge graph by
+    iterative min-label propagation — cluster_id = min doc_id reachable
+    (a~b, b~c ⇒ one cluster even with no direct a~c edge). The oracle
+    recomputes reachability with a recursive CTE over the same
+    md5-parameterized edge set, so the hash pins both the edge graph
+    and the propagation fixpoint."""
+    from newscrawler_spark.operators.dedup import near_dup_clusters
+
+    return near_dup_clusters(
+        _t(spark, sf_dir, "documents"), threshold=0.5, hasher="md5"
+    )
+
+
 def q36_quality_stats(spark, sf_dir):
     from newscrawler_spark.operators.textstats import quality_stats
 
@@ -1426,9 +1455,89 @@ _Q53_ORACLE = """
 """
 
 
+def _anchor_edges_oracle(threshold: float = 0.5, num_perm: int = 64,
+                         bands: int = 16, n: int = 3,
+                         docs_rel: str = "documents") -> str:
+    """DuckDB twin of dedup.minhash_lsh_anchor_edges(hasher='md5'):
+    identical shingles / double-hash signature / band keys as
+    _minhash_oracle, then per-(band, bh) bucket anchor = min(doc_id),
+    candidates = (anchor, member) only — O(m) per bucket, the same
+    boundedness the engine path claims — verified with exact Jaccard.
+    ``docs_rel`` lets q49 run the whole derivation over its stage-2
+    survivor set instead of the full table (with the anchor rule, bucket
+    minima over a subset differ from filtered full-table minima, so the
+    subquery substitution is load-bearing, not cosmetic)."""
+    r = num_perm // bands
+    joined = "||' '||".join(f"tk[i+{j}]" for j in range(n))
+    return f"""
+        WITH base AS (SELECT doc_id, {_TOKS} AS tk FROM {docs_rel}),
+        elig AS (
+            SELECT doc_id, CASE WHEN len(tk) >= {n}
+                THEN list_distinct(list_transform(
+                     generate_series(1, len(tk) - {n - 1}), i -> {joined}))
+                ELSE [array_to_string(tk, ' ')] END AS sh
+            FROM base),
+        hx AS (
+            SELECT doc_id, sh, list_transform(sh, s -> md5(s)) AS hs
+            FROM elig),
+        sig AS (
+            SELECT doc_id, sh, list_transform(generate_series(0, {num_perm - 1}),
+                p -> list_min(list_transform(hs, m ->
+                      ('0x' || substr(m, 1, 14))::BIGINT
+                    + p * ('0x' || substr(m, 17, 14))::BIGINT))) AS sg
+            FROM hx),
+        bands AS (
+            SELECT doc_id, b,
+                   md5(array_to_string(list_slice(sg, b*{r}+1, b*{r}+{r}), ',')) AS bh
+            FROM sig, generate_series(0, {bands - 1}) t(b)),
+        anch AS (SELECT b, bh, min(doc_id) AS anchor
+                 FROM bands GROUP BY b, bh),
+        cand AS (
+            SELECT DISTINCT a.anchor AS id1, bd.doc_id AS id2
+            FROM bands bd JOIN anch a ON bd.b = a.b AND bd.bh = a.bh
+            WHERE bd.doc_id > a.anchor),
+        v AS (
+            SELECT id1, id2, len(list_intersect(e1.sh, e2.sh)) AS inter,
+                   len(e1.sh) AS n1, len(e2.sh) AS n2
+            FROM cand JOIN elig e1 ON cand.id1 = e1.doc_id
+                      JOIN elig e2 ON cand.id2 = e2.doc_id)
+        SELECT id2 AS doc_id, id1 AS anchor_id,
+               round(CAST(inter AS DOUBLE)/(n1 + n2 - inter), 6) AS jaccard
+        FROM v WHERE CAST(inter AS DOUBLE)/(n1 + n2 - inter) >= {threshold}
+    """
+
+
+def _cluster_oracle(threshold: float = 0.5) -> str:
+    """DuckDB twin of q65 (dedup.near_dup_clusters): recursive min-label
+    reachability over the undirected anchor-edge graph — cluster_id =
+    min doc_id reachable, exactly what iterative propagation converges
+    to. The recursive CTE IS transitive closure (fine at contract scale;
+    the engine side is the bounded iterative form)."""
+    return f"""
+        WITH RECURSIVE ed AS (
+            SELECT doc_id, anchor_id
+            FROM ({_anchor_edges_oracle(threshold=threshold)}) t),
+        und AS (
+            SELECT anchor_id AS a, doc_id AS b FROM ed
+            UNION ALL
+            SELECT doc_id AS a, anchor_id AS b FROM ed),
+        reach(id, r) AS (
+            SELECT DISTINCT a, a FROM und
+            UNION
+            SELECT und.a, reach.r FROM und JOIN reach ON und.b = reach.id)
+        SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+    """
+
+
 def _curate_oracle(quality_min: float = 0.5, threshold: float = 0.5) -> str:
     """DuckDB twin of q49: stage CTEs are the existing oracle builders
-    nested as subqueries — zero shared code with the engine chain."""
+    nested as subqueries — zero shared code with the engine chain. The
+    near-dup stage re-derives the ANCHOR rule (curate_corpus's default)
+    over the stage-2 survivor set."""
+    anchor = _anchor_edges_oracle(
+        threshold=threshold,
+        docs_rel="documents WHERE doc_id IN (SELECT doc_id FROM s2)",
+    )
     return f"""
         WITH keep AS (
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
@@ -1438,11 +1547,9 @@ def _curate_oracle(quality_min: float = 0.5, threshold: float = 0.5) -> str:
         s2 AS (SELECT doc_id FROM keep
                WHERE doc_id IN (SELECT doc_id FROM q
                                 WHERE quality_score >= {quality_min})),
-        p AS (SELECT id1, id2 FROM ({_minhash_oracle(threshold=threshold)}) t
-              WHERE id1 IN (SELECT doc_id FROM s2)
-                AND id2 IN (SELECT doc_id FROM s2)),
+        ed AS (SELECT doc_id FROM ({anchor}) t),
         surv AS (SELECT doc_id FROM s2
-                 WHERE doc_id NOT IN (SELECT id2 FROM p))
+                 WHERE doc_id NOT IN (SELECT doc_id FROM ed))
         SELECT s.doc_id, q.n_tokens, q.quality_score, lang.lang_pred
         FROM surv s
         JOIN q ON s.doc_id = q.doc_id
@@ -2130,6 +2237,8 @@ def all_queries():
         "q61_boilerplate_removal": q61_boilerplate_removal,
         "q62_pack_sequences": q62_pack_sequences,
         "q63_pii_scrub": q63_pii_scrub,
+        "q64_lsh_anchor_edges": q64_lsh_anchor_edges,
+        "q65_near_dup_clusters": q65_near_dup_clusters,
     }
 
 
@@ -2156,4 +2265,6 @@ def all_oracles():
     out["q54_media_resize"] = _Q54_ORACLE
     out["q55_training_shards"] = _Q55_ORACLE
     out["q63_pii_scrub"] = _Q63_ORACLE
+    out["q64_lsh_anchor_edges"] = _anchor_edges_oracle()
+    out["q65_near_dup_clusters"] = _cluster_oracle()
     return out

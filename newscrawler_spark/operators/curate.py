@@ -13,19 +13,25 @@ checkable (driver q49):
 2. quality gate: survivors need quality_score ≥ ``quality_min``
    (textstats.quality_stats' rounded score, same value the oracle
    computes);
-3. near-dup tier: MinHash+LSH pairs among the remaining docs
-   (banded buckets + exact Jaccard verify — never all-pairs); a doc is
-   dropped iff it appears as the LARGER id of a verified pair whose
-   smaller id also survived stages 1–2. This greedy smaller-id-wins
-   rule is deterministic and pairwise (NOT transitive-closure
-   clustering: in a chain a–b–c with no a–c pair, both b and c drop).
-   Pairs among survivors ≡ all-docs pairs filtered to survivor
-   endpoints, which is what the oracle computes.
+3. near-dup tier (default ``near_dup="anchor"``): MinHash-LSH ANCHOR
+   edges among the remaining docs — every (band, bh) bucket nominates
+   its smallest id as the anchor and only (anchor, member) candidates
+   are Jaccard-verified, O(docs·bands) candidates regardless of how
+   degenerate the dup clusters are (dedup.minhash_lsh_anchor_edges). A
+   doc is dropped iff it has a verified anchor edge, i.e. some bucket's
+   minimum id (which itself survived stages 1–2 — buckets are built
+   over the survivor set) has true Jaccard ≥ threshold with it. For a
+   cluster of identical texts exactly the min id survives.
+   ``near_dup="pairs"`` keeps the legacy pairwise smaller-id-wins rule
+   (dedup.minhash_lsh_pairs): deterministic but quadratic per bucket —
+   a web-scale boilerplate cluster of m docs expands m²/2 candidate
+   pairs, so it is no longer the default.
 
 Scale shape: stage 1 is one hash-shuffle groupBy; stage 2 is a pure
-Catalyst projection; stage 3 is the q32 LSH shape, O(docs·bands)
-shuffle, run on the REDUCED survivor set; the joins stitching stages
-are semi/anti joins on doc_id. No stage is quadratic, no collect.
+Catalyst projection; stage 3 is O(docs·bands) shuffle end to end
+(banding, one min-aggregate, one bucket join, the verify), run on the
+REDUCED survivor set; the joins stitching stages are semi/anti joins on
+doc_id. No stage is quadratic, no collect.
 """
 
 from __future__ import annotations
@@ -33,7 +39,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from newscrawler_spark.operators.dedup import exact_dedup, minhash_lsh_pairs
+from newscrawler_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_anchor_edges,
+    minhash_lsh_pairs,
+)
 from newscrawler_spark.operators.textstats import langid, quality_stats
 
 
@@ -44,13 +54,18 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     hasher: str = "xxhash64",
+    near_dup: str = "anchor",
 ) -> DataFrame:
     """documents(doc_id, text, ...) → surviving
     (doc_id, n_tokens, quality_score, lang_pred).
 
     ``hasher`` parameterizes the MinHash family exactly as in
     minhash_lsh_pairs: 'xxhash64' (default, cheapest per-row) or 'md5'
-    (ANSI-SQL-reproducible — the driver-oracle tier)."""
+    (ANSI-SQL-reproducible — the driver-oracle tier). ``near_dup``
+    picks the stage-3 drop rule: 'anchor' (default, bounded at any
+    skew) or 'pairs' (legacy pairwise rule — quadratic per bucket)."""
+    if near_dup not in ("anchor", "pairs"):
+        raise ValueError("near_dup must be 'anchor' or 'pairs'")
     keep = exact_dedup(documents, id_col=id_col, text_col=text_col).select(
         F.col("keep_id").alias(id_col)
     )
@@ -62,11 +77,18 @@ def curate_corpus(
         documents.join(keep, id_col, "left_semi")
         .join(good, id_col, "left_semi")
     )
-    pairs = minhash_lsh_pairs(
-        s2, threshold=near_dup_threshold, id_col=id_col, text_col=text_col,
-        hasher=hasher,
-    )
-    dropped = pairs.select(F.col("id2").alias(id_col)).distinct()
+    if near_dup == "anchor":
+        edges = minhash_lsh_anchor_edges(
+            s2, threshold=near_dup_threshold, id_col=id_col,
+            text_col=text_col, hasher=hasher,
+        )
+        dropped = edges.select(F.col("doc_id").alias(id_col)).distinct()
+    else:
+        pairs = minhash_lsh_pairs(
+            s2, threshold=near_dup_threshold, id_col=id_col,
+            text_col=text_col, hasher=hasher,
+        )
+        dropped = pairs.select(F.col("id2").alias(id_col)).distinct()
     survivors = s2.join(dropped, id_col, "left_anti")
     lang = langid(documents, id_col=id_col, text_col=text_col).select(
         id_col, "lang_pred"

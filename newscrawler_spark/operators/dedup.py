@@ -301,9 +301,8 @@ def minhash_signature(
     )
 
 
-def minhash_lsh_pairs(
+def lsh_banded(
     documents: DataFrame,
-    threshold: float = 0.5,
     num_perm: int = 64,
     bands: int = 16,
     n: int = 3,
@@ -311,26 +310,13 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     hasher: str = "xxhash64",
 ) -> DataFrame:
-    """MinHash+LSH near-dup pairs, exact-verified (the 100 TB dedup path).
-
-    signature → ``bands`` bands of ``num_perm/bands`` rows; band hash =
-    hash of the band slice; docs sharing any band bucket become
-    candidates; candidates are verified with true n-gram Jaccard. Output
-    (id1, id2, jaccard) — a superset-free result: FPs are filtered by the
-    verify stage; FNs are the usual LSH recall tradeoff (tested ≥ target
-    in tests/test_dedup.py).
-
-    ``hasher="md5"`` switches the whole parameterization (permutation
-    bases AND band keys) to md5 so a DuckDB oracle can reproduce the
-    exact candidate set — used by the driver-contract queries q32/q49;
-    xxhash64 stays the default engine path (JVM hash vs md5 digest per
-    shingle). Both tiers use the same double-hash permutation arithmetic
-    (see minhash_signature).
-    """
+    """The shared LSH banding stage: (id, band, bh) rows — ``bands``
+    band keys per document, each a hash of its signature slice. One
+    projection + explode, no shuffle; every LSH consumer (pairs, anchor
+    edges, bucket stats) groups or joins on (band, bh) downstream."""
     r = num_perm // bands
     sig = documents.select(
         F.col(id_col).alias("id"),
-        F.col(text_col).alias("text"),
         minhash_signature(text_col, num_perm, n, hasher).alias("sig"),
     )
     # bind the signature once per row (see bind_once): the 16 band keys
@@ -343,7 +329,7 @@ def minhash_lsh_pairs(
             lambda x: x.cast("string"),
         ))
     )
-    banded = sig.select(
+    return sig.select(
         "id",
         F.explode(
             bind_once(
@@ -358,17 +344,14 @@ def minhash_lsh_pairs(
         ).alias("bx"),
     ).select("id", F.col("bx.band").alias("band"), F.col("bx.bh").alias("bh"))
 
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "bh"])
-        .where(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"))
-        .distinct()
-    )
+
+def _verify_jaccard(cand: DataFrame, documents: DataFrame, threshold: float,
+                    n: int, id_col: str, text_col: str) -> DataFrame:
+    """Exact n-gram Jaccard verify of candidate (id1, id2) pairs."""
     sh = documents.select(
         F.col(id_col).alias("id"), shingles_expr(text_col, n).alias("sh")
     )
-    verified = (
+    return (
         cand.join(sh.select(F.col("id").alias("id1"), F.col("sh").alias("sh1")), "id1")
         .join(sh.select(F.col("id").alias("id2"), F.col("sh").alias("sh2")), "id2")
         .withColumn(
@@ -379,7 +362,277 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
     )
-    return verified
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hasher: str = "xxhash64",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """MinHash+LSH near-dup PAIRS, exact-verified.
+
+    signature → ``bands`` bands of ``num_perm/bands`` rows; band hash =
+    hash of the band slice; docs sharing any band bucket become
+    candidates; candidates are verified with true n-gram Jaccard. Output
+    (id1, id2, jaccard) — a superset-free result: FPs are filtered by the
+    verify stage; FNs are the usual LSH recall tradeoff (tested ≥ target
+    in tests/test_dedup.py).
+
+    SCALE CAVEAT — pair output is inherently quadratic per bucket: a
+    degenerate duplicate cluster of m documents (near-empty texts,
+    templated boilerplate; m can be 10^6+ on a web corpus) shares every
+    band key and expands to m²/2 candidate pairs per band. Two ways out:
+
+    - corpus dedup does NOT need pairs — use
+      :func:`minhash_lsh_anchor_edges` (O(docs·bands) candidates, never
+      quadratic; the default tier of curate.curate_corpus), or feed its
+      edges to :func:`connected_components` for cluster ids;
+    - if you genuinely need pairs, set ``max_bucket``: every (band, bh)
+      bucket is truncated to its ``max_bucket`` SMALLEST ids before pair
+      expansion (deterministic; pairs among retained ids are exact).
+      Truncation is never silent — audit it with
+      :func:`lsh_bucket_stats`, which reports how many buckets overflow
+      and how many ids the cap excludes, and log that next to the run.
+
+    ``hasher="md5"`` switches the whole parameterization (permutation
+    bases AND band keys) to md5 so a DuckDB oracle can reproduce the
+    exact candidate set — used by the driver-contract queries q32/q49;
+    xxhash64 stays the default engine path (JVM hash vs md5 digest per
+    shingle). Both tiers use the same double-hash permutation arithmetic
+    (see minhash_signature).
+    """
+    banded = lsh_banded(documents, num_perm, bands, n, id_col, text_col,
+                        hasher)
+    if max_bucket is None:
+        cand = (
+            banded.alias("x")
+            .join(banded.alias("y"), ["band", "bh"])
+            .where(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"))
+            .distinct()
+        )
+    else:
+        if max_bucket < 2:
+            raise ValueError("max_bucket must be >= 2")
+        # one groupBy shuffle; per-bucket state = the id list, truncated
+        # to the cap's smallest ids BEFORE the quadratic expansion, so a
+        # hot bucket costs O(m log m) sort + O(cap²) pairs, never O(m²)
+        grouped = (
+            banded.groupBy("band", "bh")
+            .agg(F.slice(F.sort_array(F.collect_list("id")), 1,
+                         max_bucket).alias("ids"))
+            .where(F.size("ids") > 1)
+        )
+        cand = (
+            grouped.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ids, (x, i) -> "
+                        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                        "y -> named_struct('id1', x, 'id2', y))))"
+                    )
+                ).alias("p")
+            )
+            .select("p.*")
+            .distinct()
+        )
+    return _verify_jaccard(cand, documents, threshold, n, id_col, text_col)
+
+
+def lsh_bucket_stats(
+    documents: DataFrame,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hasher: str = "xxhash64",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Bucket-size audit for the LSH banding — the overflow counter that
+    keeps ``minhash_lsh_pairs(max_bucket=...)`` honest.
+
+    One row: (n_buckets, n_multi_buckets, max_bucket_size,
+    n_buckets_over, n_ids_truncated) where the last two count buckets
+    larger than ``max_bucket`` and the ids a cap of that size would
+    exclude from pair expansion (0/0 when ``max_bucket`` is None). One
+    groupBy + one aggregate — O(docs·bands) shuffle, same as the banding
+    itself; run it next to any capped pairs job and LOG the result so
+    truncation is never silent.
+    """
+    cap = F.lit(max_bucket if max_bucket is not None else (1 << 62))
+    sizes = (
+        lsh_banded(documents, num_perm, bands, n, id_col, text_col, hasher)
+        .groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum((F.col("sz") > 1).cast("long")).alias("n_multi_buckets"),
+        F.max("sz").alias("max_bucket_size"),
+        F.sum((F.col("sz") > cap).cast("long")).alias("n_buckets_over"),
+        F.sum(
+            F.when(F.col("sz") > cap, F.col("sz") - cap).otherwise(F.lit(0))
+        ).alias("n_ids_truncated"),
+    )
+
+
+def minhash_lsh_anchor_edges(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """The 100-TB near-dup DROP path: anchor-rule edges, never quadratic.
+
+    Corpus dedup needs survivors, not all pairs — so instead of expanding
+    every bucket into m²/2 candidate pairs, each (band, bh) bucket
+    nominates its SMALLEST id as the anchor and every other member is a
+    candidate edge (anchor, id): O(m) candidates per bucket, O(docs·bands)
+    total, regardless of how degenerate the duplicate clusters are (the
+    round-4 verdict's one remaining scale hole). Candidates are verified
+    with exact n-gram Jaccard; output (doc_id, anchor_id, jaccard) with
+    anchor_id < doc_id, distinct per (doc_id, anchor_id).
+
+    Semantics (deterministic, SQL-expressible — driver query q64): a
+    document is a verified anchor-dup iff some bucket's minimum id has
+    true Jaccard ≥ threshold with it. For a cluster of identical texts
+    every bucket's anchor IS the cluster-global minimum (identical docs
+    share all band keys), so exactly the min id survives. The rule is
+    deliberately NOT the all-pairs rule: a doc whose bucket anchors all
+    fail the verify survives even if some other (non-anchor) bucket-mate
+    would have matched — the standard recall-for-boundedness trade every
+    production LSH dedup makes. Recall vs the pair tier is tested in
+    tests/test_dedup.py; for transitive cluster ids feed these edges to
+    :func:`connected_components`.
+
+    Plan shape: banding projection → ONE groupBy(band, bh) min-aggregate
+    → one join back on (band, bh) (per-key output O(m), not O(m²)) →
+    distinct → the verify join. Every stage is bounded by O(docs·bands).
+    """
+    banded = lsh_banded(documents, num_perm, bands, n, id_col, text_col,
+                        hasher)
+    anchors = banded.groupBy("band", "bh").agg(F.min("id").alias("anchor"))
+    cand = (
+        banded.join(anchors, ["band", "bh"])
+        .where(F.col("id") > F.col("anchor"))
+        .select(F.col("anchor").alias("id1"), F.col("id").alias("id2"))
+        .distinct()
+    )
+    verified = _verify_jaccard(cand, documents, threshold, n, id_col,
+                               text_col)
+    return verified.select(
+        F.col("id2").alias("doc_id"),
+        F.col("id1").alias("anchor_id"),
+        "jaccard",
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation — the
+    standard corpus-dedup deliverable (RefinedWeb/SlimPajama-style
+    cluster ids) over a near-dup edge set.
+
+    Returns (id, cluster_id) for every node appearing in ``edges``,
+    cluster_id = the smallest node id reachable through undirected
+    edges. Each iteration is ONE join + groupBy (labels flow one hop);
+    labels only decrease, so the fixpoint — reached after diameter(G)
+    iterations — has every component labeled by its minimum. Anchor-rule
+    edge sets (see minhash_lsh_anchor_edges) are near-star-shaped, so
+    the diameter is small by construction; ``max_iter`` is a loud
+    backstop, not a truncation (RuntimeError on non-convergence, never a
+    silently wrong label).
+
+    Scale notes: the edge list is localCheckpoint-ed once (it drives
+    every iteration); per-iteration labels are localCheckpoint-ed to cut
+    lineage (otherwise the plan doubles each round). Driver state is one
+    integer (the change count) per iteration. At extreme diameters swap
+    in large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") — same output contract.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        und.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(labels, und["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new = (
+            labels.join(nbr_min, labels["id"] == nbr_min["a"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"],
+                    F.coalesce(F.col("nbr_min"), labels["label"]),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations — raise max_iter or use large-star/small-star"
+        )
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def near_dup_clusters(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hasher: str = "xxhash64",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Transitive near-dup cluster ids over the anchor-edge graph:
+    (doc_id, cluster_id) for every doc with ≥ 1 verified anchor edge,
+    cluster_id = min doc_id reachable through such edges (a~b, b~c ⇒
+    one cluster even when a≁c directly). The composition of the two
+    scale-safe pieces above — O(docs·bands) edges, O(diameter) rounds."""
+    edges = minhash_lsh_anchor_edges(
+        documents, threshold, num_perm, bands, n, id_col, text_col, hasher
+    )
+    return connected_components(
+        edges, src="anchor_id", dst="doc_id", max_iter=max_iter
+    ).select(F.col("id").alias(id_col), "cluster_id")
 
 
 def simhash_expr(text: Column | str, bits: int = 64, hasher: str = "xxhash64") -> Column:

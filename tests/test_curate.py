@@ -45,9 +45,12 @@ def test_curate_stage_semantics(spark, docs_df):
 
 
 def test_curate_equals_stagewise_composition(spark, docs_df):
-    """survivors == (exact keepers ∩ quality pass) minus {larger id of
-    any verified near-dup pair among that set} — recomputed from the
-    engine's own stage operators, independent of curate.py's joins."""
+    """survivors == (exact keepers ∩ quality pass) minus {doc with a
+    verified anchor edge computed over that set} — recomputed from the
+    engine's own stage operators, independent of curate.py's joins.
+    Also checks the legacy pairwise mode against its own rule."""
+    from newscrawler_spark.operators.dedup import minhash_lsh_anchor_edges
+
     keep = {r.keep_id for r in exact_dedup(docs_df).collect()}
     good = {
         r.doc_id
@@ -56,13 +59,20 @@ def test_curate_equals_stagewise_composition(spark, docs_df):
     }
     s2 = keep & good
     s2_df = docs_df.where(F.col("doc_id").isin([int(i) for i in s2]))
-    pairs = minhash_lsh_pairs(s2_df, threshold=0.5).collect()
-    dropped = {r.id2 for r in pairs}
-    expected = s2 - dropped
+    edges = minhash_lsh_anchor_edges(s2_df, threshold=0.5).collect()
+    expected = s2 - {r.doc_id for r in edges}
     got = {r.doc_id for r in
            curate_corpus(docs_df, quality_min=0.5,
                          near_dup_threshold=0.5).collect()}
     assert got == expected
+
+    pairs = minhash_lsh_pairs(s2_df, threshold=0.5).collect()
+    expected_pairs_mode = s2 - {r.id2 for r in pairs}
+    got_pairs_mode = {r.doc_id for r in
+                      curate_corpus(docs_df, quality_min=0.5,
+                                    near_dup_threshold=0.5,
+                                    near_dup="pairs").collect()}
+    assert got_pairs_mode == expected_pairs_mode
 
 
 def test_curate_plan_no_python_row_udfs(spark, docs_df):
