@@ -793,6 +793,22 @@ def q62_pack_sequences(spark, sf_dir):
     ).select("doc_id", "shard", "n_tokens", "start_offset", "seq_id")
 
 
+def q66_packed_streams(spark, sf_dir):
+    """The MATERIALIZED packed token streams (shards.
+    materialize_packed_streams) — the bytes a trainer actually reads,
+    closing the gap between the q62 offset plan and disk. Same
+    parameterization as q62 (budget 256, 8 shards); the oracle rebuilds
+    every sequence closed-form (assignment → order → cumsum → global
+    token positions → string_agg per 256-token window), so a hash match
+    pins sequence membership, within-sequence order, and the straddling
+    of documents across sequence boundaries."""
+    from newscrawler_spark.operators.shards import materialize_packed_streams
+
+    return materialize_packed_streams(
+        _t(spark, sf_dir, "documents"), budget=256, n_shards=8
+    )
+
+
 def q61_boilerplate_removal(spark, sf_dir):
     """C4-style global boilerplate removal (curate.
     boilerplate_span_removal): every 3-token chunk occurring in > 2
@@ -2028,6 +2044,29 @@ TRAINING_ORACLES = {
                CAST(floor((cum - n_tokens) / 256.0) AS BIGINT) AS seq_id
         FROM b
     """,
+    "q66_packed_streams": f"""
+        WITH a AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5('|' || doc_id::VARCHAR), 1, 14))::BIGINT AS h,
+                   {_TOKS} AS tk
+            FROM documents),
+        b AS (
+            SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard, tk,
+                   sum(CAST(len(tk) AS BIGINT)) OVER (
+                       PARTITION BY h % 8 ORDER BY h, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+            FROM a),
+        d AS (SELECT shard, tk, cum - len(tk) AS start_offset FROM b),
+        e AS (
+            SELECT shard, start_offset + pos - 1 AS gpos, tk[pos] AS tok
+            FROM (SELECT shard, start_offset, tk,
+                         unnest(generate_series(1, len(tk))) AS pos
+                  FROM d))
+        SELECT shard, CAST(floor(gpos / 256.0) AS BIGINT) AS seq_id,
+               CAST(count(*) AS BIGINT) AS n_seq_tokens,
+               string_agg(tok, ' ' ORDER BY gpos) AS seq_text
+        FROM e GROUP BY shard, floor(gpos / 256.0)
+    """,
     "q61_boilerplate_removal": f"""
         WITH base AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
         sp AS (
@@ -2239,6 +2278,7 @@ def all_queries():
         "q63_pii_scrub": q63_pii_scrub,
         "q64_lsh_anchor_edges": q64_lsh_anchor_edges,
         "q65_near_dup_clusters": q65_near_dup_clusters,
+        "q66_packed_streams": q66_packed_streams,
     }
 
 

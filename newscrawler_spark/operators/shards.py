@@ -236,3 +236,123 @@ def pack_sequences(
         (cum - F.col("n_tokens")).alias("start_offset"),
         F.floor((cum - F.col("n_tokens")) / F.lit(budget)).alias("seq_id"),
     )
+
+
+def materialize_packed_streams(
+    documents: DataFrame,
+    budget: int = 2048,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "",
+) -> DataFrame:
+    """Materialize the packed token streams :func:`pack_sequences` only
+    PLANS — the actual ``budget``-token training sequences a trainer
+    reads, with documents straddling sequence boundaries exactly as the
+    offsets say.
+
+    Returns (shard, seq_id, n_seq_tokens, seq_text): sequence ``seq_id``
+    of shard ``shard`` holds the shard stream's tokens
+    [seq_id*budget, (seq_id+1)*budget), space-joined in stream order
+    (tokens are whitespace-split, so the join is lossless). The final
+    sequence of each shard is the only one allowed < ``budget`` tokens.
+    Byte-consistency with the offsets is pinned two ways: the q66 DuckDB
+    oracle recomputes every sequence closed-form, and the round-trip
+    test re-slices each document out of the materialized stream at its
+    pack_sequences offsets.
+
+    Scale shape: pack_sequences' one hash shuffle + per-shard window,
+    a co-shuffled join back to the text, then ONE explode + groupBy
+    (shard, seq) — O(corpus tokens) shuffle, the unavoidable cost of
+    actually materializing the stream; per-group state is one
+    ``budget``-token sequence. No collect, no driver state.
+    """
+    from newscrawler_spark.operators.dedup import tokens_expr
+
+    offs = pack_sequences(documents, budget, n_shards, id_col, text_col,
+                          salt)
+    toks = documents.select(
+        F.col(id_col), tokens_expr(text_col).alias("tk")
+    )
+    j = offs.join(toks, id_col).select(
+        "shard", "start_offset", F.posexplode("tk").alias("pos", "tok")
+    )
+    gpos = F.col("start_offset") + F.col("pos")
+    return (
+        j.select(
+            "shard",
+            F.floor(gpos / F.lit(budget)).alias("seq_id"),
+            gpos.alias("gpos"),
+            "tok",
+        )
+        .groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_seq_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("gpos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+            ).alias("seq_text"),
+        )
+    )
+
+
+PACKED_MANIFEST = "_PACKED_MANIFEST.json"
+
+
+def write_packed_streams(
+    documents: DataFrame,
+    path: str,
+    budget: int = 2048,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "",
+) -> dict:
+    """Opt-in packed-stream writer: materialize the sequences and write
+    ``path/shard=K/*.parquet`` (rows = (seq_id, n_seq_tokens,
+    seq_text)), manifest-committed like :func:`write_training_shards`
+    (counts computed FROM THE WRITTEN FILES; manifest written last via
+    tmp + fsync + atomic rename — a missing manifest means uncommitted).
+    """
+    seqs = materialize_packed_streams(
+        documents, budget, n_shards, id_col, text_col, salt
+    )
+    (
+        seqs.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "seq_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    back = documents.sparkSession.read.parquet(path)
+    stats = (
+        back.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("n_seq_tokens").alias("n_tokens"),
+        )
+        .orderBy("shard")
+        .collect()
+    )
+    man = {
+        "budget": budget,
+        "n_shards": n_shards,
+        "salt": salt,
+        "total_seqs": int(sum(r.n_seqs for r in stats)),
+        "total_tokens": int(sum(r.n_tokens for r in stats)),
+        "shards": {
+            str(r.shard): {"n_seqs": int(r.n_seqs),
+                           "n_tokens": int(r.n_tokens)}
+            for r in stats
+        },
+    }
+    fd, tmp = tempfile.mkstemp(dir=path, prefix="_PACKED", suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(man, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, PACKED_MANIFEST))
+    return man

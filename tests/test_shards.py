@@ -154,3 +154,63 @@ def test_pack_sequences_layout(spark):
     # docs can straddle sequence boundaries (that's the point)
     assert any(r.start_offset // 32 != (r.start_offset + r.n_tokens - 1) // 32
                for r in got)
+
+
+# ---------------------------------------------------------------- r5:
+# materialized packed streams — the bytes behind the q62 offset plan.
+
+
+def test_packed_streams_round_trip(spark, docs):
+    """Every document's tokens re-slice EXACTLY out of the materialized
+    shard stream at its pack_sequences offsets, and every sequence but
+    each shard's last holds exactly `budget` tokens."""
+    from newscrawler_spark.operators.shards import (
+        materialize_packed_streams,
+        pack_sequences,
+    )
+
+    budget = 32
+    offs = {r.doc_id: r for r in
+            pack_sequences(docs, budget=budget, n_shards=N).collect()}
+    seqs = materialize_packed_streams(docs, budget=budget, n_shards=N)
+    streams: dict[int, list[str]] = {}
+    lengths: dict[int, dict[int, int]] = {}
+    for r in seqs.collect():
+        lengths.setdefault(r.shard, {})[r.seq_id] = r.n_seq_tokens
+        streams.setdefault(r.shard, {})[r.seq_id] = r.seq_text.split(" ")
+    # stitch each shard's stream in seq order; check budget discipline
+    stitched: dict[int, list[str]] = {}
+    for shard, by_seq in streams.items():
+        ids = sorted(by_seq)
+        assert ids == list(range(len(ids)))        # contiguous sequences
+        for sid in ids[:-1]:
+            assert lengths[shard][sid] == budget   # only the tail is short
+        assert 1 <= lengths[shard][ids[-1]] <= budget
+        stitched[shard] = [t for sid in ids for t in by_seq[sid]]
+    # re-slice every doc at its offsets
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for doc_id, o in offs.items():
+        want = texts[doc_id].split()
+        got = stitched[o.shard][o.start_offset:o.start_offset + o.n_tokens]
+        assert got == want, doc_id
+
+
+def test_write_packed_streams_manifest(spark, docs, tmp_path):
+    from newscrawler_spark.operators.shards import (
+        PACKED_MANIFEST,
+        materialize_packed_streams,
+        write_packed_streams,
+    )
+
+    path = str(tmp_path / "packed")
+    man = write_packed_streams(docs, path, budget=32, n_shards=N)
+    assert os.path.exists(os.path.join(path, PACKED_MANIFEST))
+    back = spark.read.parquet(path)
+    assert back.count() == man["total_seqs"]
+    ref = materialize_packed_streams(docs, budget=32, n_shards=N)
+    got = {(r.shard, r.seq_id): r.seq_text for r in back.collect()}
+    want = {(r.shard, r.seq_id): r.seq_text for r in ref.collect()}
+    assert got == want
+    # manifest totals add up
+    assert man["total_tokens"] == sum(
+        v["n_tokens"] for v in man["shards"].values())
