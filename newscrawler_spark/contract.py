@@ -831,7 +831,11 @@ def q63_pii_scrub(spark, sf_dir):
     states the expected counts and the full scrubbed text by the same
     construction WITH ZERO REGEX — so the hash pins the engine's match
     boundaries and replacement order against ground truth, not against
-    another regex engine's dialect."""
+    another regex engine's dialect. r5: the construction now carries
+    the adversarial NEGATIVES the hardened phone pattern must leave
+    alone (an ISO date, a 6-digit page range, a 20-digit identifier)
+    plus a parenthesized second phone — the oracle keeps the negatives
+    verbatim and expects exactly two <PHONE>s."""
     from newscrawler_spark.operators.textstats import pii_scrub
 
     docs = _t(spark, sf_dir, "documents")
@@ -845,6 +849,9 @@ def q63_pii_scrub(spark, sf_dir):
             F.lit(" from 10."),
             F.pmod("doc_id", F.lit(200)).cast("string"),
             F.lit(".0."), F.pmod("doc_id", F.lit(13)).cast("string"),
+            F.lit(" on 2026-08-19 pages 100-110"
+                  " ref 12345678901234567890 call (555) 123-45"),
+            F.lpad(F.pmod("doc_id", F.lit(100)).cast("string"), 2, "0"),
             F.when(F.pmod("doc_id", F.lit(3)) == 0,
                    F.lit(" cc bob@ex.org")).otherwise(F.lit("")),
         ).alias("text"),
@@ -857,8 +864,10 @@ _Q63_ORACLE = """
            CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT)
              AS n_emails,
            CAST(1 AS BIGINT) AS n_ips,
-           CAST(1 AS BIGINT) AS n_phones,
+           CAST(2 AS BIGINT) AS n_phones,
            text || ' contact <EMAIL> or <PHONE> from <IP>'
+                || ' on 2026-08-19 pages 100-110'
+                || ' ref 12345678901234567890 call <PHONE>'
                 || CASE WHEN doc_id % 3 = 0 THEN ' cc <EMAIL>' ELSE '' END
              AS scrubbed_text
     FROM documents
@@ -892,6 +901,47 @@ def q65_near_dup_clusters(spark, sf_dir):
     return near_dup_clusters(
         _t(spark, sf_dir, "documents"), threshold=0.5, hasher="md5"
     )
+
+
+def q67_luhn_check(spark, sf_dir):
+    """Luhn checksum validity (textstats.luhn_check_expr) over card-like
+    16-char digit strings constructed closed-form from doc_id — the
+    credit-card-number class the phone scrubber's 15-digit cap
+    deliberately excludes. The DuckDB twin recomputes the same
+    double-every-second-from-the-right fold independently, so a hash
+    match pins digit order, the >9 − 9 rule, and the mod-10 gate."""
+    from newscrawler_spark.operators.textstats import luhn_check_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    cards = docs.select(
+        "doc_id",
+        F.lpad(
+            F.pmod(F.col("doc_id") * F.lit(7919), F.lit(10**12))
+            .cast("string"),
+            16, "4",
+        ).alias("card"),
+    )
+    return cards.select(
+        "doc_id", "card", luhn_check_expr("card").alias("luhn_valid")
+    )
+
+
+_Q67_ORACLE = """
+    WITH cards AS (
+        SELECT doc_id,
+               lpad(CAST((doc_id * 7919) % 1000000000000 AS VARCHAR),
+                    16, '4') AS card
+        FROM documents)
+    SELECT doc_id, card,
+           list_sum(list_transform(generate_series(1, length(card)), i ->
+               CASE WHEN i % 2 = 0 THEN
+                   CASE WHEN 2 * CAST(substr(card, length(card) - i + 1, 1) AS INT) > 9
+                        THEN 2 * CAST(substr(card, length(card) - i + 1, 1) AS INT) - 9
+                        ELSE 2 * CAST(substr(card, length(card) - i + 1, 1) AS INT) END
+               ELSE CAST(substr(card, length(card) - i + 1, 1) AS INT) END
+           )) % 10 = 0 AS luhn_valid
+    FROM cards
+"""
 
 
 def q36_quality_stats(spark, sf_dir):
@@ -2279,6 +2329,7 @@ def all_queries():
         "q64_lsh_anchor_edges": q64_lsh_anchor_edges,
         "q65_near_dup_clusters": q65_near_dup_clusters,
         "q66_packed_streams": q66_packed_streams,
+        "q67_luhn_check": q67_luhn_check,
     }
 
 
@@ -2307,4 +2358,5 @@ def all_oracles():
     out["q63_pii_scrub"] = _Q63_ORACLE
     out["q64_lsh_anchor_edges"] = _anchor_edges_oracle()
     out["q65_near_dup_clusters"] = _cluster_oracle()
+    out["q67_luhn_check"] = _Q67_ORACLE
     return out

@@ -208,7 +208,18 @@ def repetition_stats(documents: DataFrame, id_col: str = "doc_id",
 
 PII_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
 PII_IP_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
-PII_PHONE_RE = r"\+?\d[\d -]{6,}\d"
+# Phone-like runs, hardened (r5): 7-15 digits separated by at most TWO
+# of [space . ( ) -] each (so separator soup and unbounded runs can't
+# match), optional leading +/(, and NEITHER preceded NOR followed by a
+# continuation of the run (a digit within two separator chars on either
+# side) — the symmetric guards make the 15-digit cap real: a separated
+# 16+-digit card number can't satisfy the pattern by shedding a group
+# at either end. Also must not start exactly like an ISO date
+# (dddd-dd-dd). Both lookbehinds are bounded-length (Java-regex legal).
+PII_PHONE_RE = (
+    r"(?<!\d[ .()-])(?<!\d[ .()-]{2})(?<!\d)(?!\d{4}-\d{2}-\d{2}(?!\d))"
+    r"[+(]?\d(?:[ .()-]{0,2}\d){6,14}(?![ .()-]{0,2}\d)"
+)
 
 
 def pii_scrub(documents: DataFrame, id_col: str = "doc_id",
@@ -223,9 +234,34 @@ def pii_scrub(documents: DataFrame, id_col: str = "doc_id",
     once (as the email) and digit runs freed by earlier redactions can't
     be double-counted. Pure Catalyst (regexp_extract_all +
     regexp_replace): JVM-side, one projection, no shuffle — the 100 TB
-    shape is a map stage. Patterns are plain character-class regexes
-    (no backreferences/lookaround) so any regex engine agrees on the
-    matches.
+    shape is a map stage.
+
+    Recall/precision boundary (document before training on the output —
+    this is a regex scrubber, not an NER model):
+
+    - CAUGHT as phone: 7-15 digit runs with ≤ 2 space/dot/paren/hyphen
+      separator chars between digits — "+1 555 0123", "(555) 123-4567",
+      "555.123.4567", bare "5551234567".
+    - NOT matched (guards, r5): digit runs adjacent to other digits,
+      >15-digit identifiers (credit cards are 16 — see
+      :func:`luhn_check_expr` for that class), ISO dates
+      ("2026-08-19", with or without a following time), short page
+      ranges ("100-110": only 6 digits), separator soup
+      ("5 -  - 5 - 5...": ≥ 3 chars between digits breaks the run).
+    - Known over-match: any 7-15 digit separated run is phone-shaped —
+      a long page range like "1234-5678" or an 8-digit order id still
+      scrubs. Recall-first by design.
+    - IPv4: matches dotted quads without octet-range validation
+      ("999.999.999.999" scrubs; version strings like "1.2.3" don't —
+      only exactly four groups match).
+    - Email: practical RFC subset (no quoted local parts, no IDN).
+
+    The q63 oracle states expected counts AND the full scrubbed text
+    closed-form (zero regex on the oracle side), including adversarial
+    negatives, so match boundaries are pinned against ground truth.
+    The phone pattern's lookarounds are zero-width assertions available
+    in every mainstream engine; matches themselves stay plain character
+    classes.
     """
     c = F.col(text_col)
     n_em = F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), 0)).cast("long")
@@ -241,3 +277,29 @@ def pii_scrub(documents: DataFrame, id_col: str = "doc_id",
         n_ph.alias("n_phones"),
         t3.alias("scrubbed_text"),
     )
+
+
+def luhn_check_expr(col: Column | str) -> Column:
+    """Luhn checksum validity of a card-like string (ISO/IEC 7812) —
+    the credit-card-number test the phone scrubber deliberately leaves
+    alone (16-digit runs exceed its cap).
+
+    Non-digits are stripped first, so "4111-1111 1111 1111" validates.
+    Pure Catalyst: reverse the digit array, double every second digit
+    from the right (minus 9 when > 9), fold-sum, check % 10 == 0.
+    Empty/digit-free input → false. SQL-expressible (q67's DuckDB twin
+    recomputes the same fold), JVM-side, no shuffle.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    digits = F.regexp_replace(c, r"[^0-9]", "")
+    rev = F.reverse(F.filter(F.split(digits, ""), lambda ch: ch != ""))
+    terms = F.transform(
+        rev,
+        lambda d, i: F.when(
+            i % 2 == 1,
+            F.when(d.cast("int") * 2 > 9, d.cast("int") * 2 - 9)
+            .otherwise(d.cast("int") * 2),
+        ).otherwise(d.cast("int")),
+    )
+    total = F.aggregate(terms, F.lit(0), lambda acc, x: acc + x)
+    return (F.length(digits) > 0) & (total % 10 == 0)

@@ -166,3 +166,65 @@ def test_pii_scrub_plan_is_jvm_only(spark):
     df = spark.createDataFrame([(0, "a@b.co")], "doc_id long, text string")
     plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_pii_phone_hardening_adversarial(spark):
+    """r5 guards: ISO dates, page ranges, long identifiers, separator
+    soup, and digit-adjacent runs must survive; widened separator
+    forms ((555) 123-4567, dotted) must scrub."""
+    from newscrawler_spark.operators.textstats import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (0, "published on 2026-08-19 and updated 1999-01-02"),
+            (1, "see pages 100-110 and 205-209 of the appendix"),
+            (2, "order ref 12345678901234567890 confirmed"),
+            (3, "spaced 5 -  - 5 - 5 - 0 - 1 - 2 - 3 - 4 junk"),
+            (4, "call (555) 123-4567 or 555.123.4567 now"),
+            (5, "meeting 2026-08-19 12:34 room 4b"),
+            (6, "card 4111 1111 1111 1111 stays for the luhn pass"),
+            (7, "id98765432109876543210x trailing"),
+            (8, "plain +4915512345678 works"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in pii_scrub(df).collect()}
+    for i in (0, 1, 2, 3, 5, 6, 7):
+        assert got[i].n_phones == 0, (i, got[i].scrubbed_text)
+        assert "<PHONE>" not in got[i].scrubbed_text
+    assert got[4].n_phones == 2
+    assert got[4].scrubbed_text == "call <PHONE> or <PHONE> now"
+    assert got[8].n_phones == 1
+    assert got[8].scrubbed_text == "plain <PHONE> works"
+
+
+def test_luhn_check_known_cards(spark):
+    """Ground-truth Luhn vectors: classic valid test PANs, off-by-one
+    invalids, separator stripping, empty/digit-free input."""
+    from pyspark.sql import functions as F
+
+    from newscrawler_spark.operators.textstats import luhn_check_expr
+
+    cases = [
+        (0, "4111111111111111", True),     # classic Visa test number
+        (1, "4242424242424242", True),
+        (2, "4111111111111112", False),    # flipped check digit
+        (3, "79927398713", True),          # the canonical Luhn example
+        (4, "79927398710", False),
+        (5, "4111-1111 1111 1111", True),  # separators stripped first
+        (6, "", False),
+        (7, "no digits here", False),
+        (8, "0", True),                    # single zero: sum 0 % 10 == 0
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s, _ in cases], "i long, card string")
+    got = {r.i: r.v for r in
+           df.select("i", luhn_check_expr("card").alias("v")).collect()}
+    for i, s, want in cases:
+        assert got[i] == want, (i, s)
+    # plan stays JVM-side
+    plan = (
+        df.select(luhn_check_expr("card").alias("v"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan
