@@ -944,6 +944,126 @@ _Q67_ORACLE = """
 """
 
 
+# q68's dirty construction: every character class normalize_text maps,
+# concatenated in one suffix so the oracle can state the cleaned result
+# closed-form (the base corpus text is whitespace-clean ASCII — verified
+# at every sf). Even docs end with zwj+Z+BEL, odd with a plain z.
+_Q68_DIRTY_CORE = (
+    "  start\u00a0\u00a0mid\u200bdle \u2018q\u2019 \u201cQ\u201d "
+    "a\u2013b\u2014c \u2026\r\n\t tabbed   line \r\n\n\n\nend"
+)
+_Q68_CLEAN_CORE = " start middle 'q' \"Q\" a-b-c ...\ntabbed line\n\nend"
+
+
+def q68_normalize_text(spark, sf_dir):
+    """Unicode/whitespace normalization (curate.normalize_text) over a
+    closed-form dirty construction: nbsp runs, zero-width chars, curly
+    quotes, en/em dashes, ellipsis, CRLF + lone CR, tabs, space runs,
+    4-blank-line runs, C0 controls, trailing whitespace — one instance
+    of every class the operator maps. The oracle states the expected
+    normalized text and both char counts WITH ZERO string functions
+    beyond concatenation — ground truth, not a second normalizer — so
+    the hash pins the exact pass order and every character mapping."""
+    from newscrawler_spark.operators.curate import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(_Q68_DIRTY_CORE),
+            F.when(F.pmod("doc_id", F.lit(2)) == 0, F.lit("\u200dZ\x07  "))
+            .otherwise(F.lit("z  ")),
+        ).alias("text"),
+    )
+    return normalize_text(dirty)
+
+
+_Q68_ORACLE = f"""
+    SELECT doc_id,
+           text || ' start middle ''q' || chr(39) || ' "Q" a-b-c ...'
+                || chr(10) || 'tabbed line' || chr(10) || chr(10) || 'end'
+                || CASE WHEN doc_id % 2 = 0 THEN 'Z' ELSE 'z' END
+             AS norm_text,
+           CAST(length(text) + CASE WHEN doc_id % 2 = 0
+                THEN {len(_Q68_DIRTY_CORE) + 5}
+                ELSE {len(_Q68_DIRTY_CORE) + 3} END AS BIGINT) AS orig_chars,
+           CAST(length(text) + {len(_Q68_CLEAN_CORE) + 1} AS BIGINT)
+             AS norm_chars
+    FROM documents
+"""
+
+
+def q69_line_dedup(spark, sf_dir):
+    """Per-source line-level dedup (curate.line_dedup),
+    RefinedWeb/Gopher-style: lines occurring in ≥3 documents of the
+    same source are boilerplate and removed everywhere in that source.
+    The construction appends a per-source subscribe footer (hot in
+    every source), an alternating cookie notice (hot), and a per-doc
+    unique tail (never hot); base texts duplicated across docs of one
+    source (the corpus's planted dup clusters) go hot organically. The
+    oracle recomputes split, per-(source, line) document frequencies,
+    the hot set, and the ordered rebuild independently."""
+    from newscrawler_spark.operators.curate import line_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    ml = docs.select(
+        "doc_id",
+        "source",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.concat(F.lit("subscribe to "), F.col("source"),
+                     F.lit(" newsletter")),
+            F.when(
+                F.pmod("doc_id", F.lit(2)) == 0,
+                F.concat(F.lit("cookie notice for "), F.col("source")),
+            ).otherwise(
+                F.concat(F.lit("doc "), F.col("doc_id").cast("string"),
+                         F.lit(" footer"))
+            ),
+            F.concat(F.lit("unique tail "), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    return line_dedup(ml, min_df=3, scope_col="source")
+
+
+_Q69_ORACLE = """
+    WITH ml AS (
+        SELECT doc_id, source,
+               text || chr(10) || 'subscribe to ' || source || ' newsletter'
+                    || chr(10)
+                    || CASE WHEN doc_id % 2 = 0
+                            THEN 'cookie notice for ' || source
+                            ELSE 'doc ' || CAST(doc_id AS VARCHAR)
+                                 || ' footer' END
+                    || chr(10) || 'unique tail ' || CAST(doc_id AS VARCHAR)
+                 AS t
+        FROM documents),
+    sp AS (SELECT doc_id, source, string_split(t, chr(10)) AS ls FROM ml),
+    e AS (
+        SELECT doc_id, source, pos, ls[pos] AS line FROM (
+            SELECT doc_id, source, ls,
+                   unnest(generate_series(1, len(ls))) AS pos
+            FROM sp)),
+    hot AS (
+        SELECT source, line FROM (
+            SELECT source, line, count(DISTINCT doc_id) AS df
+            FROM e GROUP BY source, line)
+        WHERE df >= 3),
+    kept AS (SELECT e.* FROM e ANTI JOIN hot USING (source, line)),
+    rebuilt AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(line, chr(10) ORDER BY pos) AS cleaned_text
+        FROM kept GROUP BY doc_id)
+    SELECT sp.doc_id, sp.source AS scope,
+           CAST(len(sp.ls) AS BIGINT) AS n_lines,
+           coalesce(r.n_kept, 0) AS n_kept,
+           coalesce(r.cleaned_text, '') AS cleaned_text
+    FROM sp LEFT JOIN rebuilt r ON sp.doc_id = r.doc_id
+"""
+
+
 def q36_quality_stats(spark, sf_dir):
     from newscrawler_spark.operators.textstats import quality_stats
 
@@ -2330,6 +2450,8 @@ def all_queries():
         "q65_near_dup_clusters": q65_near_dup_clusters,
         "q66_packed_streams": q66_packed_streams,
         "q67_luhn_check": q67_luhn_check,
+        "q68_normalize_text": q68_normalize_text,
+        "q69_line_dedup": q69_line_dedup,
     }
 
 
@@ -2359,4 +2481,6 @@ def all_oracles():
     out["q64_lsh_anchor_edges"] = _anchor_edges_oracle()
     out["q65_near_dup_clusters"] = _cluster_oracle()
     out["q67_luhn_check"] = _Q67_ORACLE
+    out["q68_normalize_text"] = _Q68_ORACLE
+    out["q69_line_dedup"] = _Q69_ORACLE
     return out

@@ -136,6 +136,129 @@ def stratified_sample(
     )
 
 
+# normalize_text's character classes. Kept as module constants so tests
+# and the contract construction cite the same sets the operator maps.
+_NORM_SPACE_LIKE = "\u00a0\u2007\u202f"  # nbsp, figure space, narrow nbsp
+_NORM_ZERO_WIDTH = "\u200b\u200c\u200d\ufeff"  # zwsp, zwnj, zwj, BOM
+_NORM_QUOTES_FROM = "\u2018\u2019\u201c\u201d"  # curly → straight
+_NORM_QUOTES_TO = "''\"\""
+_NORM_DASHES_FROM = "\u2013\u2014"  # en/em dash → hyphen
+# C0 controls minus \t \n \r (those have their own mappings), plus DEL.
+_NORM_CONTROLS = "".join(
+    chr(i) for i in range(0x20) if chr(i) not in "\t\n\r"
+) + "\x7f"
+
+
+def normalize_text(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unicode/whitespace normalization — the first stage of every real
+    webtext pipeline (HTML-extracted text arrives full of nbsp runs,
+    zero-width joiners, curly quotes, and CRLF soup).
+
+    Fixed, documented pass order (each step sees the previous step's
+    output, so the composition is deterministic and closed-form
+    statable — the q68 oracle exploits exactly that):
+
+    1. CRLF → LF (before lone-CR mapping so ``\\r\\n`` yields ONE \\n);
+    2. one ``translate``: lone \\r → \\n, \\t → space, nbsp-family →
+       space, curly quotes → straight, en/em dash → '-', and DELETE
+       zero-width chars + C0 controls + DEL;
+    3. ellipsis … → '...' (1→3 chars, beyond translate's 1:1 map);
+    4. collapse 2+ spaces → one;
+    5. strip spaces around newlines;
+    6. cap blank-line runs: 3+ \\n → exactly 2;
+    7. trim leading/trailing whitespace.
+
+    Returns (id, norm_text, orig_chars, norm_chars). Scale shape: a
+    pure Catalyst projection — no shuffle, no UDF; at 100 TB this is
+    a map-only pass fused into whatever scan feeds it.
+    """
+    src = F.col(text_col)
+    c = F.replace(src, F.lit("\r\n"), F.lit("\n"))
+    c = F.translate(
+        c,
+        "\r\t" + _NORM_SPACE_LIKE + _NORM_QUOTES_FROM + _NORM_DASHES_FROM
+        + _NORM_ZERO_WIDTH + _NORM_CONTROLS,
+        "\n " + "   " + _NORM_QUOTES_TO + "--",
+    )
+    c = F.replace(c, F.lit("\u2026"), F.lit("..."))
+    c = F.regexp_replace(c, " {2,}", " ")
+    c = F.regexp_replace(c, " *\n *", "\n")
+    c = F.regexp_replace(c, "\n{3,}", "\n\n")
+    c = F.regexp_replace(c, "^\\s+|\\s+$", "")
+    return documents.select(
+        F.col(id_col),
+        c.alias("norm_text"),
+        F.length(src).cast("long").alias("orig_chars"),
+        F.length(c).cast("long").alias("norm_chars"),
+    )
+
+
+def line_dedup(
+    documents: DataFrame,
+    min_df: int = 3,
+    scope_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-scope line-level dedup, RefinedWeb/Gopher-style: a LINE
+    (``\\n``-separated) occurring in ≥ ``min_df`` documents of the same
+    scope (host / source / domain) is boilerplate — nav bars, cookie
+    banners, subscribe footers — and is removed from every document in
+    that scope; texts are rebuilt from surviving lines in order.
+
+    Differs from boilerplate_span_removal (q61) on both axes: the unit
+    is a LINE (not a fixed token window) and the frequency is scoped
+    per host (not corpus-global) — a header hot on one site but quoted
+    once elsewhere is dropped only where it is boilerplate.
+
+    Returns (id, scope, n_lines, n_kept, cleaned_text). Scale shape:
+    one explode + groupBy(scope, line) for document frequencies
+    (O(total lines) shuffle, keyed by (scope, line) so no single-host
+    hotspot concentrates on one reducer beyond its own volume), an
+    anti-join against the hot set (strategy left to AQE — broadcast
+    when small), one groupBy(id) rebuild. Nothing quadratic, no
+    collect, no UDF.
+    """
+    e = documents.select(
+        F.col(id_col),
+        F.col(scope_col).alias("scope"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    hot = (
+        e.groupBy("scope", "line")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("scope", "line")
+    )
+    kept = e.join(hot, ["scope", "line"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+        ).alias("cleaned_text"),
+    )
+    base = documents.select(
+        F.col(id_col),
+        F.col(scope_col).alias("scope"),
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
+    )
+    return base.join(rebuilt, id_col, "left").select(
+        id_col,
+        "scope",
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+    )
+
+
 def boilerplate_span_removal(
     documents: DataFrame,
     span: int = 3,

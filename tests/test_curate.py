@@ -142,3 +142,85 @@ def test_boilerplate_span_removal(spark):
     assert got[4].cleaned_text == "clean document with no banner at all present"
     assert got[4].n_kept == got[4].n_spans
     assert (got[5].n_spans, got[5].n_kept, got[5].cleaned_text) == (0, 0, "")
+
+
+def test_normalize_text_every_class(spark):
+    """One instance of every character class the normalizer maps, with
+    the expected output hand-derived (ground truth, not a second
+    implementation) — the same derivation the q68 oracle states."""
+    from newscrawler_spark.operators.curate import normalize_text
+
+    dirty = (
+        "  start  mid​dle ‘q’ “Q” "
+        "a–b—c …\r\n\t tabbed   line \r\n\n\n\nend"
+        "‍Z\x07  "
+    )
+    df = spark.createDataFrame(
+        [(0, dirty), (1, ""), (2, " \t \n "), (3, "already clean")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in normalize_text(df).collect()}
+    assert got[0].norm_text == (
+        "start middle 'q' \"Q\" a-b-c ...\ntabbed line\n\nendZ"
+    )
+    assert got[0].orig_chars == len(dirty)
+    assert got[0].norm_chars == len(got[0].norm_text)
+    assert got[1].norm_text == "" and got[2].norm_text == ""
+    assert got[3].norm_text == "already clean"
+
+
+def test_normalize_text_idempotent(spark):
+    """normalize ∘ normalize ≡ normalize: already-normal text is a
+    fixpoint — the property that makes re-running the stage safe."""
+    from newscrawler_spark.operators.curate import normalize_text
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([
+            "plain words", "a\nb\n\nc", "x - y ... z 'q' \"Q\"",
+            " lead", "tail…", "mid\r\nrow\tcol   wide",
+        ])],
+        "doc_id long, text string",
+    )
+    once = normalize_text(df).select(
+        "doc_id", F.col("norm_text").alias("text"))
+    twice = normalize_text(once)
+    joined = {r.doc_id: r for r in normalize_text(df).join(
+        twice.select("doc_id", F.col("norm_text").alias("again")),
+        "doc_id").collect()}
+    for r in joined.values():
+        assert r.norm_text == r.again
+
+
+def test_line_dedup_scoped(spark):
+    """A line hot in one scope is dropped only there; order preserved;
+    a doc reduced to nothing rebuilds as empty."""
+    from newscrawler_spark.operators.curate import line_dedup
+
+    nav = "home | about | contact"
+    df = spark.createDataFrame(
+        [
+            (0, "a.com", f"{nav}\nstory zero\nthe end"),
+            (1, "a.com", f"{nav}\nstory one"),
+            (2, "a.com", f"{nav}\nstory two"),
+            (3, "b.com", f"{nav}\nquoted once here"),   # nav df=1 on b.com
+            (4, "a.com", nav),                           # nothing survives
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {r.doc_id: r for r in
+           line_dedup(df, min_df=3, scope_col="source").collect()}
+    assert got[0].cleaned_text == "story zero\nthe end"
+    assert (got[0].n_lines, got[0].n_kept) == (3, 2)
+    assert got[1].cleaned_text == "story one"
+    assert got[3].cleaned_text == f"{nav}\nquoted once here"  # scoped!
+    assert (got[4].n_kept, got[4].cleaned_text) == (0, "")
+
+
+def test_line_dedup_plan_jvm_only(spark):
+    """No Python row UDFs anywhere in the line_dedup plan."""
+    from newscrawler_spark.operators.curate import line_dedup
+
+    df = spark.createDataFrame(
+        [(0, "s", "a\nb")], "doc_id long, source string, text string")
+    plan = line_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
