@@ -1064,6 +1064,114 @@ _Q69_ORACLE = """
 """
 
 
+def q70_token_budget(spark, sf_dir):
+    """Greedy token-budget selection (curate.select_token_budget):
+    score the corpus with quality_stats, rank (quality_score DESC,
+    doc_id ASC), keep the maximal prefix whose cumulative whitespace
+    token count stays <= 12000 — "fill the training budget with the
+    best documents first". The Spark side is the distributed two-level
+    prefix sum (range shuffle + per-bucket cumsum + bucket-offset
+    broadcast, never a single-task global window); the oracle is the
+    NAIVE single-window form, so a hash match proves the distributed
+    decomposition equals the global cumulative sum exactly."""
+    from newscrawler_spark.operators.curate import select_token_budget
+    from newscrawler_spark.operators.textstats import quality_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.join(
+        quality_stats(docs).select("doc_id", "quality_score"), "doc_id"
+    )
+    return select_token_budget(
+        scored, budget=12000, order_col="quality_score", num_buckets=8
+    )
+
+
+def q71_upsample_mix(spark, sf_dir):
+    """Epoch-expansion mix (curate.upsample_mix): per-lang rates
+    {en: 2.5, de: 1.0, fr: 0.25, zh: 3.0, default 1.0} where rate r
+    means floor(r) full copies plus one extra epoch iff
+    md5-hash(doc_id) % 1e6 < frac(r)*1e6 — the repetition half of a
+    training mix (upsampling small high-value strata across epochs).
+    Output is one row per (doc, epoch). The oracle recomputes the hash
+    key, the per-stratum copy counts, and the epoch expansion with
+    range()/unnest — deterministic, monotone in r, no randomness."""
+    from newscrawler_spark.operators.curate import upsample_mix
+
+    return upsample_mix(
+        _t(spark, sf_dir, "documents"),
+        rates={"en": 2.5, "de": 1.0, "fr": 0.25, "zh": 3.0},
+        strata_col="lang",
+    )
+
+
+def q72_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split (curate.hash_split): the
+    salted id hash lands in [0, 1e6) and cumulative weight boundaries
+    (train 0.8 | val 0.9 | test) assign the split. A doc's split never
+    changes as the corpus grows — the leakage-audit property random
+    splits lack. The oracle restates the boundaries as a closed-form
+    CASE over the same md5 key."""
+    from newscrawler_spark.operators.curate import hash_split
+
+    return hash_split(
+        _t(spark, sf_dir, "documents"),
+        weights={"train": 0.8, "val": 0.1, "test": 0.1},
+    ).select("doc_id", "split_key", "split")
+
+
+def _token_budget_oracle() -> str:
+    return f"""
+        WITH q AS ({_quality_oracle()}),
+        r AS (
+            SELECT d.doc_id, q.quality_score,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+            FROM documents d JOIN q USING (doc_id)),
+        c AS (
+            SELECT doc_id, quality_score, n_tokens,
+                   CAST(sum(n_tokens) OVER (
+                       ORDER BY quality_score DESC, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+            FROM r)
+        SELECT doc_id, quality_score, n_tokens, cum_tokens
+        FROM c WHERE cum_tokens <= 12000
+    """
+
+
+_Q71_ORACLE = """
+    WITH k AS (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5('|' || doc_id::VARCHAR), 1, 14))::BIGINT
+                   % 1000000 AS key
+        FROM documents),
+    n AS (
+        SELECT doc_id, lang,
+               CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 1
+                         WHEN 'fr' THEN 0 WHEN 'zh' THEN 3
+                         ELSE 1 END
+               + CASE WHEN key < CASE lang WHEN 'en' THEN 500000
+                                           WHEN 'fr' THEN 250000
+                                           ELSE 0 END
+                      THEN 1 ELSE 0 END AS n_copies
+        FROM k)
+    SELECT doc_id, lang AS strata,
+           CAST(unnest(range(n_copies)) AS INTEGER) AS epoch
+    FROM n WHERE n_copies > 0
+"""
+
+
+_Q72_ORACLE = """
+    SELECT doc_id, key AS split_key,
+           CASE WHEN key < 800000 THEN 'train'
+                WHEN key < 900000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 14))
+                   ::BIGINT % 1000000 AS key
+        FROM documents)
+"""
+
+
 def q36_quality_stats(spark, sf_dir):
     from newscrawler_spark.operators.textstats import quality_stats
 
@@ -2452,6 +2560,9 @@ def all_queries():
         "q67_luhn_check": q67_luhn_check,
         "q68_normalize_text": q68_normalize_text,
         "q69_line_dedup": q69_line_dedup,
+        "q70_token_budget": q70_token_budget,
+        "q71_upsample_mix": q71_upsample_mix,
+        "q72_hash_split": q72_hash_split,
     }
 
 
@@ -2483,4 +2594,7 @@ def all_oracles():
     out["q67_luhn_check"] = _Q67_ORACLE
     out["q68_normalize_text"] = _Q68_ORACLE
     out["q69_line_dedup"] = _Q69_ORACLE
+    out["q70_token_budget"] = _token_budget_oracle()
+    out["q71_upsample_mix"] = _Q71_ORACLE
+    out["q72_hash_split"] = _Q72_ORACLE
     return out

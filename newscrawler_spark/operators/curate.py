@@ -322,3 +322,233 @@ def boilerplate_span_removal(
             F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+def select_token_budget(
+    documents: DataFrame,
+    budget: int,
+    order_col: str = "quality_score",
+    ascending: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Greedy token-budget selection — "take the best documents until
+    the 1-trillion-token budget is full", the step that turns a scored
+    corpus into a training mix of a fixed size.
+
+    Documents are ranked by (``order_col`` asc/desc, id asc — the id
+    tiebreak makes the total order unique, so the selected set is
+    deterministic and engine-independent); the maximal prefix whose
+    cumulative whitespace-token count stays ≤ ``budget`` is returned as
+    (id, order_col, n_tokens, cum_tokens). Because the cumulative sum
+    is monotone along the ranking, ``cum_tokens <= budget`` IS the
+    prefix — no iterative stopping logic.
+
+    Scale shape — the naive form (``Window.orderBy`` with no
+    partitionBy) funnels the whole corpus through ONE task; this
+    implementation is the distributed two-level prefix sum instead:
+
+    1. ``repartitionByRange(B, keys)`` — one range shuffle; bucket b
+       holds a contiguous slice of the ranking.
+    2. local cumulative sums per bucket (window partitioned by the
+       bucket id — max window size corpus/B, parallelism B);
+    3. per-bucket totals (groupBy over the SAME range exchange —
+       Catalyst's ReuseExchange computes the shuffle once) prefix-summed
+       by a window over ≤B rows (single-partition, but B rows ≈ the
+       cluster's task count, not the corpus), broadcast-joined back as
+       each bucket's starting offset.
+
+    Everything is one query: the range exchange is planned once, no
+    collect, no persist, no driver-side state beyond the plan. (The
+    range partitioner's boundary sampling is deterministic for a
+    deterministic input lineage, and the result is boundary-invariant
+    anyway — the global cumsum is defined by the total order alone.)
+    """
+    from pyspark.sql import Window
+    from newscrawler_spark.operators.textstats import token_count_expr
+
+    b = (
+        num_buckets
+        or documents.sparkSession.sparkContext.defaultParallelism
+    )
+    key = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    slim = documents.select(
+        F.col(id_col),
+        F.col(order_col),
+        token_count_expr(text_col).cast("long").alias("n_tokens"),
+    )
+    ranged = slim.repartitionByRange(b, key, F.col(id_col)).withColumn(
+        "__bucket", F.spark_partition_id()
+    )
+    w_local = (
+        Window.partitionBy("__bucket")
+        .orderBy(key, F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("__local_cum", F.sum("n_tokens").over(w_local))
+    w_prefix = (
+        Window.orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        ranged.groupBy("__bucket")
+        .agg(F.sum("n_tokens").alias("__total"))
+        .withColumn(
+            "__offset",
+            F.coalesce(F.sum("__total").over(w_prefix), F.lit(0)),
+        )
+        .select("__bucket", "__offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__bucket")
+        .withColumn(
+            "cum_tokens",
+            (F.col("__local_cum") + F.col("__offset")).cast("long"),
+        )
+        .where(F.col("cum_tokens") <= budget)
+        .select(id_col, order_col, "n_tokens", "cum_tokens")
+    )
+
+
+def upsample_mix(
+    documents: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Per-stratum resampling with rates ABOVE 1 allowed — the
+    repetition half of a training mix (small high-value sources repeat
+    for multiple epochs; big ones downsample). stratified_sample (q60)
+    caps at keep/drop; this operator emits copies.
+
+    A rate r for stratum s expands each doc into ``floor(r)`` full
+    copies (epochs 0..floor(r)-1) plus one extra epoch kept iff
+    base56(md5(salt|id)) % 1e6 < round(frac(r)*1e6) — the same
+    hash-threshold rule as stratified_sample, so the expansion is
+    deterministic, reproducible cross-engine, and monotone in r:
+    raising a stratum's rate only ADDS epochs, never churns existing
+    ones. Rates land in the plan as integer literals (no float in any
+    predicate). Output: one row per (doc, epoch) — (id, strata, epoch);
+    downstream shard writers salt by epoch so repeats spread across
+    shards.
+
+    Scale shape: a pure projection + explode (fan-out ≤ ceil(max rate),
+    a small constant) — no shuffle, no collect, no UDF.
+    """
+    from newscrawler_spark.operators.shards import shard_hash
+
+    full = {k: int(v) for k, v in rates.items()}
+    frac = {
+        k: int(round((v - int(v)) * 1_000_000)) for k, v in rates.items()
+    }
+    if any(v < 0 for v in rates.values()) or default_rate < 0:
+        raise ValueError("rates must be >= 0")
+    full_map = F.create_map(
+        *[x for k, v in full.items() for x in (F.lit(k), F.lit(v))]
+    )
+    frac_map = F.create_map(
+        *[x for k, v in frac.items() for x in (F.lit(k), F.lit(v))]
+    )
+    n_full = F.coalesce(
+        full_map[F.col(strata_col)], F.lit(int(default_rate))
+    )
+    frac_thr = F.coalesce(
+        frac_map[F.col(strata_col)],
+        F.lit(int(round((default_rate - int(default_rate)) * 1_000_000))),
+    )
+    key = F.pmod(shard_hash(id_col, salt), F.lit(1_000_000))
+    n_copies = n_full + F.when(key < frac_thr, F.lit(1)).otherwise(F.lit(0))
+    epochs = F.when(
+        n_copies > 0, F.sequence(F.lit(0), n_copies - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return documents.select(
+        F.col(id_col),
+        F.col(strata_col).alias("strata"),
+        F.explode(epochs).alias("epoch"),
+    )
+
+
+def temperature_rates(
+    counts: dict[str, int], alpha: float, target_total: int
+) -> dict[str, float]:
+    """Temperature-scaled mix rates (the multilingual-LM standard): a
+    stratum with n_s docs gets sampling probability p_s ∝ n_s**alpha
+    (alpha < 1 flattens the distribution toward uniform, lifting small
+    strata), realized as per-stratum rate r_s = target_total * p_s /
+    n_s. Driver-side pure arithmetic over the per-stratum COUNT table
+    (one number per stratum) — the distributed realization is
+    upsample_mix, which takes the resulting dict."""
+    if not 0 <= alpha <= 1:
+        raise ValueError("alpha must be in [0, 1]")
+    if any(v <= 0 for v in counts.values()):
+        raise ValueError("counts must be positive")
+    z = sum(n ** alpha for n in counts.values())
+    return {
+        s: target_total * (n ** alpha) / z / n for s, n in counts.items()
+    }
+
+
+def temperature_mix(
+    documents: DataFrame,
+    alpha: float,
+    target_total: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """counts → temperature_rates → upsample_mix, composed: the
+    one-call "give me a T-document mix at temperature alpha" operator.
+    The per-stratum count aggregate is collected to the driver — bounded
+    by the number of strata (languages / registered sources: thousands,
+    not corpus-sized), the same documented-bounded pattern as the IVF
+    centroid fetch."""
+    counts = {
+        r["strata"]: r["n"]
+        for r in documents.groupBy(
+            F.col(strata_col).alias("strata")
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rates = temperature_rates(counts, alpha, target_total)
+    return upsample_mix(
+        documents, rates, strata_col=strata_col, id_col=id_col, salt=salt
+    )
+
+
+def hash_split(
+    documents: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the id hash lands in
+    [0, 1e6) and split boundaries are the cumulative weight thresholds
+    (integer literals in the plan). Stable across runs, engines, and
+    corpus growth — a doc's split NEVER changes when other docs are
+    added or removed, the property random split lacks and leakage
+    audits require. Pure projection, no shuffle.
+
+    Returns documents + (split_key, split). Weights are normalized;
+    iteration order of the dict fixes boundary order (insertion order,
+    stated so the oracle can restate it)."""
+    from newscrawler_spark.operators.shards import shard_hash
+
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if any(v < 0 for v in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError("weights must be non-negative with positive sum")
+    total = sum(weights.values())
+    acc = 0.0
+    bounds: list[tuple[str, int]] = []
+    for name, w in weights.items():
+        acc += w / total
+        bounds.append((name, int(round(acc * 1_000_000))))
+    bounds[-1] = (bounds[-1][0], 1_000_000)
+    key = F.pmod(shard_hash(id_col, salt), F.lit(1_000_000))
+    expr = F.lit(bounds[-1][0])
+    for name, upper in reversed(bounds[:-1]):
+        expr = F.when(key < upper, F.lit(name)).otherwise(expr)
+    # reversed() nests the WHENs so the FIRST boundary wins; with
+    # ascending uppers each key gets the smallest bound above it.
+    return documents.withColumn("split_key", key).withColumn("split", expr)

@@ -224,3 +224,189 @@ def test_line_dedup_plan_jvm_only(spark):
         [(0, "s", "a\nb")], "doc_id long, source string, text string")
     plan = line_dedup(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+# ---------------------------------------------------------------- mix ops
+
+
+def _py_key(doc_id: int, salt: str = "") -> int:
+    """Python twin of shards.shard_hash % 1e6 (the mix-op hash key)."""
+    import hashlib
+
+    h = hashlib.md5(f"{salt}|{doc_id}".encode()).hexdigest()
+    return int(h[:14], 16) % 1_000_000
+
+
+@pytest.fixture(scope="module")
+def budget_df(spark):
+    # 60 docs, token counts 1..13 cycling, scores with TIES (i % 7) so
+    # the doc_id tiebreak is load-bearing in the ranking.
+    rows = [
+        (i, " ".join(f"w{j}" for j in range((i * 5) % 13 + 1)),
+         float(i % 7))
+        for i in range(60)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, quality_score double")
+
+
+def test_select_token_budget_equals_naive(spark, budget_df):
+    """Distributed two-level prefix sum ≡ the naive closed form."""
+    from newscrawler_spark.operators.curate import select_token_budget
+
+    rows = budget_df.select("doc_id", "quality_score", "text").collect()
+    ranked = sorted(rows, key=lambda r: (-r.quality_score, r.doc_id))
+    cum, expected = 0, {}
+    for r in ranked:
+        n = len(r.text.split())
+        cum += n
+        if cum > 150:
+            break
+        expected[r.doc_id] = (n, cum)
+
+    got = {
+        r.doc_id: (r.n_tokens, r.cum_tokens)
+        for r in select_token_budget(
+            budget_df, budget=150, order_col="quality_score", num_buckets=4
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_select_token_budget_bucket_invariance(spark, budget_df):
+    """The selected set is defined by the total order alone — bucket
+    count (hence range-partitioner boundaries) must not matter."""
+    from newscrawler_spark.operators.curate import select_token_budget
+
+    outs = [
+        sorted(
+            (r.doc_id, r.cum_tokens)
+            for r in select_token_budget(
+                budget_df, budget=150, order_col="quality_score",
+                num_buckets=b,
+            ).collect()
+        )
+        for b in (1, 3, 16)
+    ]
+    assert outs[0] == outs[1] == outs[2] and len(outs[0]) > 0
+
+
+def test_select_token_budget_edges(spark, budget_df):
+    from newscrawler_spark.operators.curate import select_token_budget
+
+    total = sum(len(r.text.split()) for r in budget_df.collect())
+    assert (
+        select_token_budget(budget_df, budget=total,
+                            order_col="quality_score").count()
+        == budget_df.count()
+    )
+    assert (
+        select_token_budget(budget_df, budget=0,
+                            order_col="quality_score").count() == 0
+    )
+    # ascending=True flips the ranking: lowest score fills first
+    asc = select_token_budget(
+        budget_df, budget=30, order_col="quality_score", ascending=True
+    ).collect()
+    assert asc and all(r.quality_score == 0.0 for r in asc[:1])
+
+
+def test_upsample_mix_closed_form(spark):
+    """Per-doc epoch counts match the floor(r) + hash-frac rule, epochs
+    are exactly 0..n-1, and raising a rate only ADDS rows."""
+    from newscrawler_spark.operators.curate import upsample_mix
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3]) for i in range(90)],
+        "doc_id long, source string",
+    )
+    rates = {"a": 2.5, "b": 0.25, "c": 0.0}
+    out = upsample_mix(df, rates).collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.epoch)
+    for i in range(90):
+        s = ["a", "b", "c"][i % 3]
+        r = rates[s]
+        n = int(r) + (1 if _py_key(i) < round((r - int(r)) * 1e6) else 0)
+        got = sorted(by_doc.get(i, []))
+        assert got == list(range(n)), (i, s, got, n)
+    # monotone: 2.5 -> 3.25 for 'a' is a strict superset
+    up = upsample_mix(df, {**rates, "a": 3.25}).collect()
+    assert {(r.doc_id, r.epoch) for r in out} <= {
+        (r.doc_id, r.epoch) for r in up
+    }
+
+
+def test_temperature_rates_closed_form(spark):
+    from newscrawler_spark.operators.curate import (
+        temperature_mix,
+        temperature_rates,
+    )
+
+    counts = {"en": 800, "zh": 100, "fr": 100}
+    # alpha=1: every stratum scaled identically (T / N)
+    r1 = temperature_rates(counts, alpha=1.0, target_total=2000)
+    assert all(abs(v - 2.0) < 1e-12 for v in r1.values())
+    # alpha=0: uniform p_s = 1/S, so expected totals are equal per stratum
+    r0 = temperature_rates(counts, alpha=0.0, target_total=3000)
+    per_stratum = {s: r0[s] * n for s, n in counts.items()}
+    assert all(abs(v - 1000.0) < 1e-9 for v in per_stratum.values())
+    # any alpha: expected total == target
+    rh = temperature_rates(counts, alpha=0.5, target_total=1234)
+    assert abs(sum(rh[s] * n for s, n in counts.items()) - 1234) < 1e-6
+    # composed operator runs and lifts the small strata
+    df = spark.createDataFrame(
+        [(i, "en" if i < 160 else ("zh" if i < 180 else "fr"))
+         for i in range(200)],
+        "doc_id long, lang string",
+    )
+    mix = temperature_mix(df, alpha=0.5, target_total=400,
+                          strata_col="lang")
+    got = {r.strata: r.n for r in
+           mix.groupBy("strata").agg(F.count("*").alias("n")).collect()}
+    assert got["zh"] / 20 > got["en"] / 160  # flattened toward uniform
+
+
+def test_hash_split_stability_and_bounds(spark):
+    """A doc's split never changes as the corpus grows; boundaries are
+    the cumulative-weight thresholds on the salted hash key."""
+    from newscrawler_spark.operators.curate import hash_split
+
+    small = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 900).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s_map = {r.doc_id: r.split for r in hash_split(small, w).collect()}
+    b_map = {r.doc_id: r.split for r in hash_split(big, w).collect()}
+    assert all(b_map[d] == s for d, s in s_map.items())
+    for r in hash_split(small, w).collect():
+        k = _py_key(r.doc_id, "split")
+        want = "train" if k < 800_000 else ("val" if k < 900_000 else "test")
+        assert (r.split_key, r.split) == (k, want)
+    # weights normalize: {8, 1, 1} ≡ {0.8, 0.1, 0.1}
+    n_map = {r.doc_id: r.split for r in
+             hash_split(small, {"train": 8, "val": 1, "test": 1}).collect()}
+    assert n_map == s_map
+
+
+def test_mix_ops_plans_jvm_only(spark, budget_df):
+    """No Python row UDFs in any mix-op plan; upsample/hash_split are
+    shuffle-free pure projections."""
+    from newscrawler_spark.operators.curate import (
+        hash_split,
+        select_token_budget,
+        upsample_mix,
+    )
+
+    df = spark.createDataFrame([(0, "s")], "doc_id long, source string")
+    for frame in (
+        select_token_budget(budget_df, budget=10,
+                            order_col="quality_score"),
+        upsample_mix(df, {"s": 1.5}),
+        hash_split(df),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    for frame in (upsample_mix(df, {"s": 1.5}), hash_split(df)):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
