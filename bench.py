@@ -80,6 +80,14 @@ BENCH_QUERIES = [
     "q66_packed_streams",
     # r5: Luhn card-number checksum primitive
     "q67_luhn_check",
+    # r5: NFC-ish text normalization + per-source line-level dedup
+    "q68_normalize_text",
+    "q69_line_dedup",
+    # r5: token-budget selection (distributed two-level prefix sum)
+    "q70_token_budget",
+    # r5: epoch-expansion mix + deterministic train/val/test split
+    "q71_upsample_mix",
+    "q72_hash_split",
 ]
 
 
