@@ -349,21 +349,27 @@ def select_token_budget(
     partitionBy) funnels the whole corpus through ONE task; this
     implementation is the distributed two-level prefix sum instead:
 
-    1. ``repartitionByRange(B, keys)`` — one range shuffle; bucket b
-       holds a contiguous slice of the ranking.
+    1. ``repartitionByRange(B, keys)`` — a range shuffle; bucket b
+       holds a contiguous slice of the ranking. (Catalyst then hashes
+       on the bucket id to satisfy the window below — it cannot know
+       ``spark_partition_id()`` already matches — so the corpus crosses
+       the wire twice; both are full-parallel B-way exchanges, never a
+       single-task funnel.)
     2. local cumulative sums per bucket (window partitioned by the
        bucket id — max window size corpus/B, parallelism B);
-    3. per-bucket totals (groupBy over the SAME range exchange —
-       Catalyst's ReuseExchange computes the shuffle once) prefix-summed
-       by a window over ≤B rows (single-partition, but B rows ≈ the
-       cluster's task count, not the corpus), broadcast-joined back as
-       each bucket's starting offset.
+    3. each bucket's grand total is just max(__local_cum), aggregated
+       FROM the stage-2 frame — sharing its exchange subtree, so the
+       scan/score/range lineage is computed once and the offsets branch
+       hangs off a ReusedExchange (plan-asserted in tests). The ≤B
+       totals are prefix-summed by a window over one row per bucket
+       (single-partition, but B rows ≈ the cluster's task count, not
+       the corpus) and broadcast-joined back as bucket start offsets.
 
-    Everything is one query: the range exchange is planned once, no
-    collect, no persist, no driver-side state beyond the plan. (The
+    No collect, no persist, no driver-side state beyond the plan. (The
     range partitioner's boundary sampling is deterministic for a
     deterministic input lineage, and the result is boundary-invariant
-    anyway — the global cumsum is defined by the total order alone.)
+    anyway — the global cumsum is defined by the total order alone;
+    bucket-count invariance is tested.)
     """
     from pyspark.sql import Window
     from newscrawler_spark.operators.textstats import token_count_expr
@@ -392,8 +398,8 @@ def select_token_budget(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = (
-        ranged.groupBy("__bucket")
-        .agg(F.sum("n_tokens").alias("__total"))
+        local.groupBy("__bucket")
+        .agg(F.max("__local_cum").alias("__total"))
         .withColumn(
             "__offset",
             F.coalesce(F.sum("__total").over(w_prefix), F.lit(0)),

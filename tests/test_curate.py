@@ -291,6 +291,22 @@ def test_select_token_budget_bucket_invariance(spark, budget_df):
     assert outs[0] == outs[1] == outs[2] and len(outs[0]) > 0
 
 
+def test_select_token_budget_reuses_exchange(spark, budget_df):
+    """The offsets branch must hang off a ReusedExchange at runtime —
+    the corpus is scanned/scored/range-shuffled ONCE; only the ≤B bucket
+    totals take the extra SinglePartition hop. (AQE stage reuse — the
+    static plan shows two branches; the executed plan must not.)"""
+    from newscrawler_spark.operators.curate import select_token_budget
+
+    df = select_token_budget(
+        budget_df, budget=150, order_col="quality_score", num_buckets=4
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    head = plan.split("+- == Initial Plan ==")[0]
+    assert "ReusedExchange" in head
+
+
 def test_select_token_budget_edges(spark, budget_df):
     from newscrawler_spark.operators.curate import select_token_budget
 
