@@ -426,3 +426,40 @@ def test_mix_ops_plans_jvm_only(spark, budget_df):
     for frame in (upsample_mix(df, {"s": 1.5}), hash_split(df)):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+def test_upsample_epochs_spread_across_shards(spark):
+    """The mix → shard-writer composition contract: salting the shard
+    assignment by epoch spreads a doc's repeated copies over different
+    shards (same epoch ≡ same shard, different epochs decorrelate), so
+    repeats don't stack in one trainer rank's slice."""
+    from newscrawler_spark.operators.curate import upsample_mix
+    from newscrawler_spark.operators.shards import shard_hash
+
+    df = spark.createDataFrame(
+        [(i, "s") for i in range(400)], "doc_id long, source string"
+    )
+    mixed = upsample_mix(df, {"s": 3.0})  # 3 epochs each
+    sharded = mixed.withColumn(
+        "shard",
+        F.pmod(
+            shard_hash(
+                F.concat_ws("#", F.col("doc_id").cast("string"),
+                            F.col("epoch").cast("string"))
+            ),
+            F.lit(8),
+        ),
+    )
+    per_doc = (
+        sharded.groupBy("doc_id")
+        .agg(F.countDistinct("shard").alias("n_shards"))
+        .collect()
+    )
+    # with 3 epochs over 8 shards, E[distinct] ≈ 2.6; all-stacked = 1
+    avg = sum(r.n_shards for r in per_doc) / len(per_doc)
+    assert avg > 2.2
+    # determinism: same epoch → same shard on a re-run
+    again = {(r.doc_id, r.epoch): r.shard for r in sharded.collect()}
+    assert all(
+        again[(r.doc_id, r.epoch)] == r.shard for r in sharded.collect()
+    )
