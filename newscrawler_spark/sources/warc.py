@@ -238,8 +238,19 @@ def read_warc(
     mapInPandas. Filters on path glob and (with AQE) file-count
     coalescing come free; at 100 TB the job is embarrassingly parallel
     over shards and the only driver state is the file listing.
+
+    A trailing ``/<glob>`` component is split off and passed as
+    ``pathGlobFilter`` so the load path is a plain directory —
+    otherwise Spark's FileStreamSink metadata probe stats the literal
+    glob string and dumps a harmless-but-noisy FileNotFoundException
+    stack into every bench/driver stderr.
     """
-    files = spark.read.format("binaryFile").load(path)
+    reader = spark.read.format("binaryFile")
+    head, tail = os.path.split(path)
+    if head and any(ch in tail for ch in "*?["):
+        reader = reader.option("pathGlobFilter", tail)
+        path = head
+    files = reader.load(path)
     return files.select("path", "content").mapInPandas(
         lambda it: _parse_shard_batches(it, responses_only), READ_SCHEMA
     )
