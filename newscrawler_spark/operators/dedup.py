@@ -25,7 +25,7 @@ paths stay inside whole-stage codegen and scale with executors:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TOKEN_SPLIT = r"\s+"
@@ -53,8 +53,16 @@ def tokens_expr(text: Column | str) -> Column:
 
 
 def shingles_expr(text: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles, as strings (native transform)."""
-    toks = tokens_expr(text)
+    """Distinct word n-gram shingles, as strings (native transform).
+
+    The token array is bound ONCE via :func:`bind_once` — referenced
+    naively inside the per-index lambda, the split+filter re-runs for
+    every shingle position, turning shingling O(tokens²) per document
+    (measured ~4 s → ~0.4 s over sf0.1's 260k shingles)."""
+    return bind_once(tokens_expr(text), lambda toks: _shingles_of(toks, n))
+
+
+def _shingles_of(toks: Column, n: int) -> Column:
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     return F.array_distinct(
@@ -516,15 +524,18 @@ def minhash_lsh_anchor_edges(
     tests/test_dedup.py; for transitive cluster ids feed these edges to
     :func:`connected_components`.
 
-    Plan shape: banding projection → ONE groupBy(band, bh) min-aggregate
-    → one join back on (band, bh) (per-key output O(m), not O(m²)) →
+    Plan shape: banding projection → ONE hash exchange on (band, bh) →
+    per-bucket window min (each bucket annotates its own anchor in one
+    pass — NOT a separate aggregate joined back, which Catalyst plans
+    as a broadcast join whose probe side recomputes the whole MinHash
+    lineage a second time; measured 2× the operator's cost at sf0.1) →
     distinct → the verify join. Every stage is bounded by O(docs·bands).
     """
     banded = lsh_banded(documents, num_perm, bands, n, id_col, text_col,
                         hasher)
-    anchors = banded.groupBy("band", "bh").agg(F.min("id").alias("anchor"))
+    w = Window.partitionBy("band", "bh")
     cand = (
-        banded.join(anchors, ["band", "bh"])
+        banded.withColumn("anchor", F.min("id").over(w))
         .where(F.col("id") > F.col("anchor"))
         .select(F.col("anchor").alias("id1"), F.col("id").alias("id2"))
         .distinct()

@@ -146,11 +146,19 @@ def ngrams_all_expr(text: Column | str, n: int) -> Column:
     """ALL word n-grams in order, duplicates kept (unlike shingles_expr,
     which de-dups for set semantics) — repetition analysis needs the
     multiset. Docs with < n tokens yield an empty array."""
-    toks = tokens_expr(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    return F.when(F.size(toks) >= n, grams).otherwise(
-        F.array().cast("array<string>"))
+    from newscrawler_spark.operators.dedup import bind_once
+
+    def body(toks):
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        grams = F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        return F.when(F.size(toks) >= n, grams).otherwise(
+            F.array().cast("array<string>"))
+
+    # bind the token array once — referenced naively in the per-index
+    # lambda, the split re-runs per gram position (O(tokens²) per doc;
+    # same trap shingles_expr documents)
+    return bind_once(tokens_expr(text), body)
 
 
 def repetition_stats(documents: DataFrame, id_col: str = "doc_id",
