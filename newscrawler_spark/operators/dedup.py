@@ -418,11 +418,28 @@ def minhash_lsh_pairs(
     banded = lsh_banded(documents, num_perm, bands, n, id_col, text_col,
                         hasher)
     if max_bucket is None:
+        # single-pass bucket expansion: ONE groupBy exchange, ids sorted
+        # per bucket, pairs streamed out of two nested explodes (peak
+        # memory O(m) per bucket, output m²/2 streamed). The former
+        # banded⋈banded self-join computed the whole MinHash lineage
+        # TWICE — Catalyst broadcasts one side and HOF lambda expr-ids
+        # defeat exchange-reuse canonicalization (measured 7.2 s vs
+        # 5.6 s at sf0.1).
+        buckets = (
+            banded.groupBy("band", "bh")
+            .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+            .where(F.size("ids") > 1)
+        )
         cand = (
-            banded.alias("x")
-            .join(banded.alias("y"), ["band", "bh"])
-            .where(F.col("x.id") < F.col("y.id"))
-            .select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"))
+            buckets.select(
+                F.posexplode("ids").alias("i", "id1"), F.col("ids")
+            )
+            .select(
+                "id1",
+                F.explode(
+                    F.slice("ids", F.col("i") + F.lit(2), F.size("ids"))
+                ).alias("id2"),
+            )
             .distinct()
         )
     else:
