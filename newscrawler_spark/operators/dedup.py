@@ -355,7 +355,14 @@ def lsh_banded(
 
 def _verify_jaccard(cand: DataFrame, documents: DataFrame, threshold: float,
                     n: int, id_col: str, text_col: str) -> DataFrame:
-    """Exact n-gram Jaccard verify of candidate (id1, id2) pairs."""
+    """Exact n-gram Jaccard verify of candidate (id1, id2) pairs.
+
+    The shingle frame is referenced for both pair sides — one extra
+    O(corpus-tokens) projection pass, shuffle-free and embarrassingly
+    parallel. (Restricting it to candidate-involved ids via a semi-join
+    was tried and rejected: the id set references ``cand``'s MinHash
+    lineage two more times, which costs more than the shingle pass it
+    saves.)"""
     sh = documents.select(
         F.col(id_col).alias("id"), shingles_expr(text_col, n).alias("sh")
     )
