@@ -88,6 +88,11 @@ BENCH_QUERIES = [
     # r5: epoch-expansion mix + deterministic train/val/test split
     "q71_upsample_mix",
     "q72_hash_split",
+    # r5b: cross-doc duplicated-substring removal (ExactSubstr, k-window
+    # relational form), DSIR hashed-ngram importance, fixed-point PageRank
+    "q73_substring_dedup",
+    "q74_dsir_scores",
+    "q75_pagerank_trade",
 ]
 
 
@@ -128,10 +133,31 @@ def _ship_anchor_edges(spark, sf_dir):
 # (md5, SQL-reproducible) and what a user runs (xxhash64). q31's ship
 # tier IS q31: prefix_filter='auto' lets the posting-skew probe pick the
 # path, which is exactly what ships.
+def _ship_substring_dedup(spark, sf_dir):
+    """q73's production tier: xxhash64 window keys — 8-byte df-groupBy
+    keys instead of the ~50-byte window strings the oracle needs."""
+    from newscrawler_spark.contract import _t
+    from newscrawler_spark.operators.dedup import substring_span_dedup
+
+    return substring_span_dedup(_t(spark, sf_dir, "documents"),
+                                k=5, min_df=2, hash_grams=True)
+
+
+def _ship_dsir(spark, sf_dir):
+    """q74's production tier: xxhash64 feature buckets."""
+    from newscrawler_spark.contract import _t
+    from newscrawler_spark.operators.curate import dsir_importance
+
+    return dsir_importance(_t(spark, sf_dir, "documents"), "src7",
+                           buckets=256, hasher="xxhash64")
+
+
 SHIP_TIERS = {
     "ship_q49_curate_xxhash64": _ship_curate,
     "ship_q32_minhash_lsh_xxhash64": _ship_minhash_pairs,
     "ship_q64_anchor_edges_xxhash64": _ship_anchor_edges,
+    "ship_q73_substring_dedup_xxhash64": _ship_substring_dedup,
+    "ship_q74_dsir_xxhash64": _ship_dsir,
 }
 
 

@@ -2229,6 +2229,170 @@ def _simhash_hamming_oracle(k: int = 3, bits: int = 60) -> str:
     """
 
 
+def q73_substring_dedup(spark, sf_dir):
+    """Cross-document duplicated-substring removal at 5-token sliding-
+    window granularity (dedup.substring_span_dedup — the ExactSubstr
+    deliverable of Lee et al. 2022, relational form). Exact-string tier
+    so the oracle reproduces the window keys verbatim; the xxhash64
+    slim-shuffle tier is asserted equivalent in tests/test_dedup.py."""
+    from newscrawler_spark.operators.dedup import substring_span_dedup
+
+    return substring_span_dedup(
+        _t(spark, sf_dir, "documents"), k=5, min_df=2
+    )
+
+
+def q74_dsir_scores(spark, sf_dir):
+    """DSIR hashed-ngram importance scores (curate.dsir_importance):
+    target = source 'src7', 256 buckets, md5 oracle tier. Scores are
+    fixed-point BIGINT micro-nats, so the value hash is exact — the
+    only float ops are one ln per bucket, reproduced by DuckDB."""
+    from newscrawler_spark.operators.curate import dsir_importance
+
+    return dsir_importance(
+        _t(spark, sf_dir, "documents"), "src7", buckets=256, hasher="md5"
+    )
+
+
+def q75_pagerank_trade(spark, sf_dir):
+    """Fixed-point integer PageRank (linkgraph.pagerank_fixed_point)
+    over the nation trade graph: edge src→dst iff customers of nation
+    src ordered from suppliers of nation dst MORE often than the
+    average present pair (the deterministic sparsifier that keeps the
+    graph irregular — unfiltered it is complete and PageRank is
+    uniform). Integer micro-rank arithmetic ⇒ bit-identical at any
+    parallelism; the oracle unrolls the same 4 iterations in SQL."""
+    from newscrawler_spark.operators.linkgraph import pagerank_fixed_point
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    w = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = w.crossJoin(
+        F.broadcast(w.agg(F.avg("w").alias("avg_w")))
+    ).where(F.col("w") > F.col("avg_w")).select("src", "dst")
+    return pagerank_fixed_point(edges, iterations=4).select(
+        F.col("node").alias("nationkey"), "rank_fp", "out_deg", "in_deg"
+    )
+
+
+def _substring_dedup_oracle(k: int = 5, min_df: int = 2) -> str:
+    return f"""
+        WITH base AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+        anch AS (
+            SELECT doc_id, i - 1 AS pos,
+                   array_to_string(tk[i:i+{k - 1}], ' ') AS g
+            FROM (SELECT doc_id, tk,
+                         unnest(generate_series(1, len(tk) - {k - 1})) AS i
+                  FROM base WHERE len(tk) >= {k})),
+        hot AS (SELECT g FROM anch GROUP BY g
+                HAVING COUNT(DISTINCT doc_id) >= {min_df}),
+        cov AS (SELECT DISTINCT doc_id, p FROM (
+            SELECT doc_id, unnest(generate_series(pos, pos + {k - 1})) AS p
+            FROM anch JOIN hot USING (g))),
+        tok AS (
+            SELECT doc_id, i - 1 AS pos, tk[i] AS tkn
+            FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
+                  FROM base WHERE len(tk) >= 1)),
+        kept AS (
+            SELECT t.doc_id, t.pos, t.tkn
+            FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.p
+            WHERE c.doc_id IS NULL),
+        reb AS (
+            SELECT doc_id, COUNT(*) AS n_kept,
+                   string_agg(tkn, ' ' ORDER BY pos) AS cleaned_text
+            FROM kept GROUP BY doc_id)
+        SELECT b.doc_id, CAST(len(b.tk) AS BIGINT) AS n_tokens,
+               CAST(len(b.tk) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+               COALESCE(r.cleaned_text, '') AS cleaned_text
+        FROM base b LEFT JOIN reb r USING (doc_id)
+    """
+
+
+def _dsir_oracle(target: str = "src7", b: int = 256) -> str:
+    return f"""
+        WITH tk AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+        feats AS (
+            SELECT doc_id, source, unnest(
+                t || CASE WHEN len(t) >= 2 THEN list_transform(
+                         generate_series(1, len(t) - 1),
+                         i -> t[i] || ' ' || t[i+1])
+                     ELSE [] END) AS f
+            FROM tk),
+        fx AS (
+            SELECT doc_id, source = '{target}' AS is_t,
+                   ('0x' || substr(md5(f), 1, 8))::BIGINT % {b} AS bk
+            FROM feats),
+        counts AS (
+            SELECT bk, COUNT(*) AS c_r,
+                   SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS c_t
+            FROM fx GROUP BY bk),
+        tot AS (SELECT SUM(c_r) AS t_r, SUM(c_t) AS t_t FROM counts),
+        wts AS (
+            SELECT bk, CAST(round(
+                (ln((c_t + 1.0) / (t_t + {b}))
+                 - ln((c_r + 1.0) / (t_r + {b}))) * 1000000.0) AS BIGINT)
+                AS w_fp
+            FROM counts, tot)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+               CAST(SUM(w_fp) AS BIGINT) AS score_fp
+        FROM fx JOIN wts USING (bk) GROUP BY doc_id
+    """
+
+
+def _pagerank_oracle(iters: int = 4, d: int = 85, scale: int = 10**9) -> str:
+    """Unrolled fixed-point PageRank twin: same integer floor-division
+    (DuckDB //) at every step, so the value hash is exact."""
+    cte = f"""
+        WITH w AS (
+            SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE c.c_nationkey <> s.s_nationkey
+            GROUP BY 1, 2),
+        e AS (SELECT src, dst FROM w WHERE w > (SELECT AVG(w) FROM w)),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        outd AS (SELECT src AS node, COUNT(*) AS out_deg FROM e GROUP BY 1),
+        ind AS (SELECT dst AS node, COUNT(*) AS in_deg FROM e GROUP BY 1),
+        base AS (
+            SELECT node, n, COALESCE(out_deg, 0) AS out_deg,
+                   COALESCE(in_deg, 0) AS in_deg,
+                   {scale}::BIGINT // n AS rank_fp
+            FROM nodes CROSS JOIN nn
+            LEFT JOIN outd USING (node) LEFT JOIN ind USING (node)),
+        r0 AS (SELECT node, n, out_deg, in_deg, rank_fp FROM base)"""
+    for i in range(iters):
+        cte += f""",
+        c{i} AS (
+            SELECT e.dst AS node, SUM(r.rank_fp // r.out_deg) AS incoming
+            FROM e JOIN r{i} r ON e.src = r.node GROUP BY 1),
+        r{i + 1} AS (
+            SELECT b.node, b.n, b.out_deg, b.in_deg,
+                   ({100 - d}::BIGINT * {scale}) // (100 * b.n)
+                   + ({d}::BIGINT * COALESCE(c.incoming, 0)) // 100 AS rank_fp
+            FROM base b LEFT JOIN c{i} c ON b.node = c.node)"""
+    return cte + f"""
+        SELECT node AS nationkey, CAST(rank_fp AS BIGINT) AS rank_fp,
+               CAST(out_deg AS BIGINT) AS out_deg,
+               CAST(in_deg AS BIGINT) AS in_deg
+        FROM r{iters}
+    """
+
+
 TRAINING_ORACLES = {
     "q30_dedup_exact": """
         SELECT md5(text) AS content_md5, min(doc_id) AS keep_id,
@@ -2563,6 +2727,9 @@ def all_queries():
         "q70_token_budget": q70_token_budget,
         "q71_upsample_mix": q71_upsample_mix,
         "q72_hash_split": q72_hash_split,
+        "q73_substring_dedup": q73_substring_dedup,
+        "q74_dsir_scores": q74_dsir_scores,
+        "q75_pagerank_trade": q75_pagerank_trade,
     }
 
 
@@ -2597,4 +2764,7 @@ def all_oracles():
     out["q70_token_budget"] = _token_budget_oracle()
     out["q71_upsample_mix"] = _Q71_ORACLE
     out["q72_hash_split"] = _Q72_ORACLE
+    out["q73_substring_dedup"] = _substring_dedup_oracle()
+    out["q74_dsir_scores"] = _dsir_oracle()
+    out["q75_pagerank_trade"] = _pagerank_oracle()
     return out

@@ -558,3 +558,105 @@ def hash_split(
     # reversed() nests the WHENs so the FIRST boundary wins; with
     # ascending uppers each key gets the smallest bound above it.
     return documents.withColumn("split_key", key).withColumn("split", expr)
+
+
+def dsir_importance(
+    documents: DataFrame,
+    target_source: str,
+    buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR — Xie et al. 2023)
+    scores: rank raw web documents by how target-domain-like they are,
+    using hashed n-gram (unigram + bigram) bag models.
+
+    Both the target corpus (rows where ``source_col = target_source``)
+    and the full raw corpus are reduced to counts over ``buckets``
+    hashed feature buckets; each bucket's weight is the smoothed
+    log-likelihood ratio  ln((c_t+1)/(T_t+B)) − ln((c_r+1)/(T_r+B))
+    (add-one smoothing, c = bucket count, T = total feature
+    occurrences, B = buckets); a document's importance is the sum of
+    its features' bucket weights — occurrences, not distinct, exactly
+    the naive-Bayes log ratio of the two hashed bag models.
+
+    DETERMINISM: per-bucket weights are fixed-point BIGINT micro-nats
+    (round(w·10⁶)) and the per-doc score is an INTEGER sum of them —
+    order-independent, bit-identical at any parallelism / cluster size
+    (a float sum would drift with partition order and flake a value-hash
+    compare; the only float op left is one ln per BUCKET, 2·B total).
+
+    Returns (id, n_feats, score_fp) — one row per document with ≥ 1
+    feature (empty texts have no bag and so no score, like
+    dedup.decontaminate); score_fp in micro-nats; resample
+    by thresholding or feeding score_fp to select_token_budget's
+    order_col. Scale shape: features are one projection + explode
+    (O(tokens) rows); TWO count aggregates keyed by bucket (≤ B groups —
+    partial aggregation collapses each partition to ≤ B rows before the
+    exchange); the weight table is B rows, broadcast back onto the
+    feature stream; one groupBy(id) sum. No collect, no UDF, nothing
+    quadratic. ``hasher="md5"`` is the oracle tier (DuckDB reproduces
+    the bucket ids via substr(md5(f),1,8)::BIGINT); xxhash64 is the
+    ship tier (one cheap JVM hash per feature).
+    """
+    from newscrawler_spark.operators.dedup import bind_once, tokens_expr
+
+    feats = bind_once(
+        tokens_expr(text_col),
+        lambda t: F.concat(
+            t,
+            F.when(
+                F.size(t) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - 2),
+                    lambda i: F.concat_ws(" ", F.slice(t, i + 1, 2)),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ),
+    )
+    if hasher == "md5":
+        bucket = lambda c: F.pmod(  # noqa: E731
+            F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long"),
+            F.lit(buckets),
+        )
+    else:
+        bucket = lambda c: F.pmod(F.xxhash64(c), F.lit(buckets))  # noqa: E731
+
+    fx = documents.select(
+        F.col(id_col).alias("id"),
+        (F.col(source_col) == target_source).alias("is_t"),
+        F.explode(feats).alias("f"),
+    ).select("id", "is_t", bucket(F.col("f")).alias("bk"))
+
+    # materialize the <=B-row count table once (localCheckpoint): totals
+    # and weights both derive from it, and without the cut Catalyst
+    # re-scans the exploded feature stream for each — 3 corpus passes
+    # instead of the minimum 2 (count + score).
+    counts = fx.groupBy("bk").agg(
+        F.count(F.lit(1)).alias("c_r"),
+        F.sum(F.col("is_t").cast("long")).alias("c_t"),
+    ).localCheckpoint()
+    totals = counts.agg(
+        F.sum("c_r").alias("t_r"), F.sum("c_t").alias("t_t")
+    )
+    wts = counts.crossJoin(F.broadcast(totals)).select(
+        "bk",
+        F.round(
+            (
+                F.log((F.col("c_t") + 1) / (F.col("t_t") + buckets))
+                - F.log((F.col("c_r") + 1) / (F.col("t_r") + buckets))
+            )
+            * 1_000_000.0
+        ).cast("long").alias("w_fp"),
+    )
+    return (
+        fx.join(F.broadcast(wts), "bk")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("w_fp").cast("long").alias("score_fp"),
+        )
+        .select(F.col("id").alias(id_col), "n_feats", "score_fp")
+    )

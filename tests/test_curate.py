@@ -463,3 +463,55 @@ def test_upsample_epochs_spread_across_shards(spark):
     assert all(
         again[(r.doc_id, r.epoch)] == r.shard for r in sharded.collect()
     )
+
+
+# ---------------------------------------------------------------- q74 op
+
+
+def _dsir_docs(spark):
+    rows = []
+    for i in range(12):
+        rows.append((i, "market stocks earnings shares trading " * 4, "finance"))
+    for i in range(12, 24):
+        rows.append((i, "football match goal season league score " * 4, "sports"))
+    # mixed doc: half finance vocabulary
+    rows.append((24, "market stocks football match earnings goal", "sports"))
+    rows.append((25, "", "sports"))
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_dsir_scores_separate_domains(spark):
+    """Target-domain docs score strictly above off-domain docs; the
+    mixed doc lands in between; empty docs emit no row."""
+    from newscrawler_spark.operators.curate import dsir_importance
+
+    got = {r["doc_id"]: r["score_fp"]
+           for r in dsir_importance(_dsir_docs(spark), "finance",
+                                    buckets=512).collect()}
+    assert 25 not in got
+    fin = [got[i] for i in range(12)]
+    spo = [got[i] for i in range(12, 24)]
+    assert min(fin) > got[24] > max(spo)
+
+
+def test_dsir_deterministic_across_partitionings(spark):
+    """score_fp is an INTEGER sum of fixed-point bucket weights — the
+    same corpus partitioned 1/3/7 ways gives byte-identical scores
+    (a float score would drift with partition order)."""
+    from newscrawler_spark.operators.curate import dsir_importance
+
+    docs = _dsir_docs(spark)
+    outs = []
+    for parts in (1, 3, 7):
+        r = dsir_importance(docs.repartition(parts), "finance", buckets=128)
+        outs.append(sorted((x["doc_id"], x["n_feats"], x["score_fp"])
+                           for x in r.collect()))
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_dsir_plan_jvm_only(spark):
+    from newscrawler_spark.operators.curate import dsir_importance
+
+    plan = dsir_importance(_dsir_docs(spark), "finance")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -461,3 +461,82 @@ def test_near_dup_clusters_on_corpus(spark, docs_df):
     for cid in set(got.values()):
         members = {d for d, c in got.items() if c == cid}
         assert cid == min(members)
+
+
+# ---------------------------------------------------------------- q73 op
+
+
+def _subspan_docs(spark):
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    return spark.createDataFrame(
+        [
+            (1, f"one two {shared} nine ten"),
+            (2, f"{shared} completely different ending here"),
+            (3, "no overlap with anything else in this tiny corpus"),
+            (4, "tiny"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_substring_span_dedup_excises_shared_span(spark):
+    """The 9-token shared span disappears from BOTH docs wherever it
+    sits (prefix/suffix kept); short/empty/unique docs untouched."""
+    from newscrawler_spark.operators.dedup import substring_span_dedup
+
+    got = {
+        r["doc_id"]: r
+        for r in substring_span_dedup(_subspan_docs(spark), k=5, min_df=2)
+        .collect()
+    }
+    assert got[1]["cleaned_text"] == "one two nine ten"
+    assert got[1]["n_removed"] == 9
+    assert got[2]["cleaned_text"] == "completely different ending here"
+    assert got[2]["n_removed"] == 9
+    assert got[3]["n_removed"] == 0
+    assert got[4]["cleaned_text"] == "tiny" and got[4]["n_tokens"] == 1
+    assert got[5]["n_tokens"] == 0 and got[5]["cleaned_text"] == ""
+
+
+def test_substring_span_dedup_within_doc_repeat_survives(spark):
+    """min_df counts DISTINCT documents: a phrase repeated twice inside
+    ONE doc is not cross-document duplication and must survive."""
+    from newscrawler_spark.operators.dedup import substring_span_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "echo alpha bravo charlie delta echo alpha bravo charlie delta"),
+         (2, "entirely distinct words that never repeat anything at all")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           substring_span_dedup(docs, k=5, min_df=2).collect()}
+    assert got[1]["n_removed"] == 0
+    assert got[2]["n_removed"] == 0
+
+
+def test_substring_span_dedup_hashed_tier_equivalent(spark, docs_df):
+    """xxhash64 window keys (the slim-shuffle 100-TB tier) produce the
+    identical result to exact string keys on a real corpus slice."""
+    from newscrawler_spark.operators.dedup import substring_span_dedup
+
+    exact = sorted(
+        (r["doc_id"], r["n_removed"], r["cleaned_text"])
+        for r in substring_span_dedup(docs_df, k=5, min_df=2).collect()
+    )
+    hashed = sorted(
+        (r["doc_id"], r["n_removed"], r["cleaned_text"])
+        for r in substring_span_dedup(
+            docs_df, k=5, min_df=2, hash_grams=True
+        ).collect()
+    )
+    assert exact == hashed
+
+
+def test_substring_span_dedup_plan_jvm_only(spark):
+    """No Python row UDFs anywhere in the plan."""
+    from newscrawler_spark.operators.dedup import substring_span_dedup
+
+    plan = substring_span_dedup(_subspan_docs(spark))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
