@@ -93,6 +93,9 @@ BENCH_QUERIES = [
     "q73_substring_dedup",
     "q74_dsir_scores",
     "q75_pagerank_trade",
+    # r5b: published Gopher quality gate + per-source datasheet rollup
+    "q76_gopher_rules",
+    "q77_corpus_datasheet",
 ]
 
 

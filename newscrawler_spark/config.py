@@ -103,6 +103,18 @@ class CrawlConfig:
     # base + <=K deltas instead of every round since genesis
     compact_seen_every: int = 8
 
+    # link-graph frontier signal (operators/linkgraph.py): 0 = off
+    # (default — the reference scheduler is priority+depth only, and the
+    # q20-q26 ordering goldens assume it). >0 = at bootstrap, build the
+    # host graph from the corpus html (one Catalyst regexp projection),
+    # run fixed-point integer PageRank, persist (node, rank_fp) under
+    # state_dir/host_ranks, and add round(weight · host-rank-percentile)
+    # to every frontier row's priority at schedule time — the classic
+    # crawl-ordering signal (Cho/Garcia-Molina/Page 1998). Deterministic:
+    # integer ranks + integer bonus, identical at any cluster size.
+    rank_priority_weight: int = 0
+    rank_iterations: int = 4
+
     # seeds defaults (A1)
     default_crawler: str = "recursive_sitemap"
 

@@ -2287,6 +2287,106 @@ def q75_pagerank_trade(spark, sf_dir):
     )
 
 
+def q76_gopher_rules(spark, sf_dir):
+    """The published Gopher quality rule set (textstats.gopher_rules):
+    per-rule measured values + booleans + the composite gate, one pure
+    Catalyst projection. Oracle recomputes every rule in SQL."""
+    from newscrawler_spark.operators.textstats import gopher_rules
+
+    return gopher_rules(_t(spark, sf_dir, "documents"))
+
+
+def q77_corpus_datasheet(spark, sf_dir):
+    """Per-source corpus datasheet rollup — the reporting composite a
+    curated corpus ships with: doc/char/token totals, language spread,
+    mean doc length. One groupBy(source) with partial aggregation."""
+    from newscrawler_spark.operators.dedup import tokens_expr
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", "lang",
+        F.length("text").cast("long").alias("nc"),
+        F.size(tokens_expr("text")).cast("long").alias("nt"),
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nc").alias("total_chars"),
+        F.sum("nt").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.concat_ws(",", F.array_sort(F.collect_set("lang"))).alias("langs"),
+        F.round(F.sum("nt") / F.count(F.lit(1)), 6).alias("avg_doc_tokens"),
+    )
+
+
+_Q76_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id, text, {_TOKS} AS tk,
+               list_filter(string_split(text, chr(10)),
+                           l -> trim(l) != '') AS lines
+        FROM documents),
+    m AS (
+        SELECT doc_id,
+            len(tk) AS n_words,
+            CASE WHEN len(tk) > 0 THEN
+                list_sum(list_transform(tk, t -> length(t))) / len(tk)
+            ELSE 0.0 END AS mean_wl,
+            CASE WHEN len(tk) > 0 THEN
+                ((length(text) - length(replace(text, '#', '')))
+                 + (len(string_split_regex(text, '\\.\\.\\.')) - 1))
+                / len(tk)
+            ELSE 0.0 END AS symbol_ratio,
+            CASE WHEN len(lines) > 0 THEN
+                len(list_filter(lines,
+                    l -> regexp_matches(trim(l), '^([-*•] )'))) / len(lines)
+            ELSE 0.0 END AS bullet_ratio,
+            CASE WHEN len(lines) > 0 THEN
+                len(list_filter(lines,
+                    l -> ends_with(rtrim(l), '...'))) / len(lines)
+            ELSE 0.0 END AS ellipsis_ratio,
+            CASE WHEN len(tk) > 0 THEN
+                len(list_filter(tk, t -> regexp_matches(t, '[a-z]')))
+                / len(tk)
+            ELSE 0.0 END AS alpha_ratio,
+            len(list_intersect(list_distinct(tk),
+                ['the','be','to','of','and','that','have','with']))
+                AS n_stop
+        FROM base)
+    SELECT doc_id,
+        CAST(n_words AS BIGINT) AS n_words,
+        round(mean_wl, 6) AS mean_word_len,
+        round(symbol_ratio, 6) AS symbol_ratio,
+        round(bullet_ratio, 6) AS bullet_ratio,
+        round(ellipsis_ratio, 6) AS ellipsis_ratio,
+        round(alpha_ratio, 6) AS alpha_word_ratio,
+        CAST(n_stop AS BIGINT) AS n_stop_hits,
+        (n_words >= 50 AND n_words <= 100000) AS rule_words,
+        (mean_wl >= 3.0 AND mean_wl <= 10.0) AS rule_word_len,
+        (symbol_ratio <= 0.1) AS rule_symbols,
+        (bullet_ratio < 0.9) AS rule_bullets,
+        (ellipsis_ratio <= 0.3) AS rule_ellipsis,
+        (alpha_ratio >= 0.8) AS rule_alpha,
+        (n_stop >= 2) AS rule_stopwords,
+        ((n_words >= 50 AND n_words <= 100000)
+         AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+         AND (symbol_ratio <= 0.1) AND (bullet_ratio < 0.9)
+         AND (ellipsis_ratio <= 0.3) AND (alpha_ratio >= 0.8)
+         AND (n_stop >= 2)) AS passes
+    FROM m
+"""
+
+
+_Q77_ORACLE = f"""
+    WITH d AS (
+        SELECT source, lang, CAST(length(text) AS BIGINT) AS nc,
+               CAST(len({_TOKS}) AS BIGINT) AS nt
+        FROM documents)
+    SELECT source, COUNT(*) AS n_docs, SUM(nc) AS total_chars,
+           SUM(nt) AS total_tokens, COUNT(DISTINCT lang) AS n_langs,
+           array_to_string(list_sort(list(DISTINCT lang)), ',') AS langs,
+           round(SUM(nt) / COUNT(*), 6) AS avg_doc_tokens
+    FROM d GROUP BY source
+"""
+
+
 def _substring_dedup_oracle(k: int = 5, min_df: int = 2) -> str:
     return f"""
         WITH base AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
@@ -2730,6 +2830,8 @@ def all_queries():
         "q73_substring_dedup": q73_substring_dedup,
         "q74_dsir_scores": q74_dsir_scores,
         "q75_pagerank_trade": q75_pagerank_trade,
+        "q76_gopher_rules": q76_gopher_rules,
+        "q77_corpus_datasheet": q77_corpus_datasheet,
     }
 
 
@@ -2767,4 +2869,6 @@ def all_oracles():
     out["q73_substring_dedup"] = _substring_dedup_oracle()
     out["q74_dsir_scores"] = _dsir_oracle()
     out["q75_pagerank_trade"] = _pagerank_oracle()
+    out["q76_gopher_rules"] = _Q76_ORACLE
+    out["q77_corpus_datasheet"] = _Q77_ORACLE
     return out

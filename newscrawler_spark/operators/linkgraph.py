@@ -165,6 +165,45 @@ def pagerank_fixed_point(
     return ranks.select("node", "rank_fp", "out_deg", "in_deg")
 
 
+def rank_percentiles(
+    ranks: DataFrame, node_col: str = "node", host_col: str = "host"
+) -> DataFrame:
+    """(host, rank_pct) — percent_rank of rank_fp ascending, ties broken
+    by node id so the table is deterministic. The window runs over HOSTS
+    only (never the frontier); the result is O(hosts) rows, small enough
+    to localize next to the budget table in the crawl runner."""
+    from pyspark.sql import Window
+
+    return ranks.select(
+        F.col(node_col).alias(host_col),
+        F.percent_rank().over(
+            Window.orderBy(F.col("rank_fp").asc(), F.col(node_col).asc())
+        ).alias("rank_pct"),
+    )
+
+
+def apply_rank_bonus(
+    frontier: DataFrame,
+    pct: DataFrame,
+    weight: int = 5,
+    host_col: str = "host",
+) -> DataFrame:
+    """Add ``round(weight · rank_pct)`` to the frontier's priority
+    column — one broadcast join against the O(hosts) percentile table;
+    unranked hosts get no bonus. Integer bonus on an integer priority:
+    the schedule ordering stays fully deterministic."""
+    return (
+        frontier.join(F.broadcast(pct), host_col, "left")
+        .withColumn(
+            "priority",
+            F.col("priority")
+            + F.round(F.lit(weight) * F.coalesce("rank_pct", F.lit(0.0)))
+            .cast("int"),
+        )
+        .drop("rank_pct")
+    )
+
+
 def priority_from_rank(
     frontier: DataFrame,
     ranks: DataFrame,
@@ -176,24 +215,10 @@ def priority_from_rank(
     ``weight`` · rank percentile (0..1 by rank_fp ascending percent_rank
     over the rank table), added to the existing priority column. The
     rank table is tiny next to the frontier (hosts ≪ urls) — Catalyst
-    broadcasts the join; the percentile window runs over hosts only,
-    never the frontier. Ties in rank_fp share a percentile, so the
-    result is deterministic."""
-    from pyspark.sql import Window
-
-    pct = ranks.select(
-        F.col(node_col).alias(host_col),
-        F.percent_rank().over(
-            Window.orderBy(F.col("rank_fp").asc(), F.col(node_col).asc())
-        ).alias("rank_pct"),
-    )
-    return (
-        frontier.join(F.broadcast(pct), host_col, "left")
-        .withColumn(
-            "priority",
-            F.col("priority")
-            + F.round(F.lit(weight) * F.coalesce("rank_pct", F.lit(0.0)))
-            .cast("int"),
-        )
-        .drop("rank_pct")
+    broadcasts the join. Composition of :func:`rank_percentiles` +
+    :func:`apply_rank_bonus`; the crawl runner uses the pieces directly
+    so the percentile table is computed once, not per round
+    (CrawlConfig.rank_priority_weight)."""
+    return apply_rank_bonus(
+        frontier, rank_percentiles(ranks, node_col, host_col), weight, host_col
     )

@@ -311,3 +311,104 @@ def luhn_check_expr(col: Column | str) -> Column:
     )
     total = F.aggregate(terms, F.lit(0), lambda acc, x: acc + x)
     return (F.length(digits) > 0) & (total % 10 == 0)
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The published Gopher document-quality rule set (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", Table A1) as one Catalyst
+    projection — the composite gate next to :func:`quality_stats`'
+    continuous score. A document passes iff ALL of:
+
+    - word count within [min_words, max_words];
+    - mean word length within [min_mean_word_len, max_mean_word_len];
+    - symbol-to-word ratio (``#`` or ``...`` occurrences / words)
+      ≤ max_symbol_ratio;
+    - < max_bullet_ratio of lines start with a bullet ("- " or "* " or
+      "• ") and ≤ max_ellipsis_ratio of lines end with "...";
+    - ≥ min_alpha_word_ratio of words contain ≥ 1 ASCII letter;
+    - ≥ min_stop_hits distinct Gopher stopwords present (the, be, to,
+      of, and, that, have, with).
+
+    Returns every rule's measured value (ratios rounded to 6 — both
+    engines compute the identical exact division before rounding) plus
+    per-rule booleans folded into ``passes`` — keep the columns, they
+    are the audit trail a filtered corpus ships with. Pure projection:
+    no shuffle, no UDF; at 100 TB this runs at scan speed fused into
+    whatever pass reads the text anyway.
+    """
+    c = F.col(text_col)
+    toks = tokens_expr(text_col)
+    n_words = F.size(toks)
+    lines = F.filter(F.split(c, "\n"), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines)
+    n_hash = F.length(c) - F.length(F.regexp_replace(c, r"#", ""))
+    n_ellip = F.size(F.split(c, r"\.\.\.")) - 1
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^([-*•] )"))
+    )
+    n_ellip_end = F.size(
+        F.filter(lines, lambda l: F.rtrim(l).endswith("..."))
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(
+        F.array_intersect(F.array_distinct(toks), stop_arr)
+    )
+    mean_wl = F.when(
+        n_words > 0,
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+        ) / n_words,
+    ).otherwise(F.lit(0.0))
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_ellip) / n_words
+    ).otherwise(F.lit(0.0))
+    bullet_ratio = F.when(n_lines > 0, n_bullet / n_lines).otherwise(F.lit(0.0))
+    ellipsis_ratio = F.when(
+        n_lines > 0, n_ellip_end / n_lines
+    ).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_words > 0, n_alpha / n_words).otherwise(F.lit(0.0))
+
+    r_words = (n_words >= min_words) & (n_words <= max_words)
+    r_wl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    r_sym = symbol_ratio <= max_symbol_ratio
+    r_bullet = bullet_ratio < max_bullet_ratio
+    r_ellip = ellipsis_ratio <= max_ellipsis_ratio
+    r_alpha = alpha_ratio >= min_alpha_word_ratio
+    r_stop = n_stop >= min_stop_hits
+
+    return documents.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_ratio, 6).alias("bullet_ratio"),
+        F.round(ellipsis_ratio, 6).alias("ellipsis_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        n_stop.cast("long").alias("n_stop_hits"),
+        r_words.alias("rule_words"),
+        r_wl.alias("rule_word_len"),
+        r_sym.alias("rule_symbols"),
+        r_bullet.alias("rule_bullets"),
+        r_ellip.alias("rule_ellipsis"),
+        r_alpha.alias("rule_alpha"),
+        r_stop.alias("rule_stopwords"),
+        (r_words & r_wl & r_sym & r_bullet & r_ellip & r_alpha & r_stop)
+        .alias("passes"),
+    )

@@ -22,6 +22,7 @@ resp. passed the gate (extraction).
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 
@@ -246,6 +247,29 @@ def run_crawl(
         if _parquet_rows(f"{state_dir}/robots_rules") <= 200_000:
             robots_rules = _localize(spark, robots_rules)
 
+    # Optional PageRank frontier signal (B7+, CrawlConfig.rank_priority_
+    # weight): host ranks are computed ONCE per state dir from the corpus
+    # link graph (round-invariant here; at production scale refresh per
+    # crawl epoch), persisted like the robots rules, and reduced to an
+    # O(hosts) percentile table that is localized next to the budget
+    # table — per round the cost is one broadcast join on the schedule
+    # input, nothing else.
+    rank_pct = None
+    if cfg.rank_priority_weight > 0:
+        from newscrawler_spark.operators import linkgraph as LG
+
+        ranks_dir = f"{state_dir}/host_ranks"
+        if not os.path.exists(os.path.join(ranks_dir, "_SUCCESS")):
+            edges = LG.host_edges_from_pages(pages_e).withColumnRenamed(
+                "src_host", "src"
+            ).withColumnRenamed("dst_host", "dst")
+            LG.pagerank_fixed_point(
+                edges, iterations=cfg.rank_iterations
+            ).write.mode("overwrite").parquet(ranks_dir)
+        rank_pct = _localize(
+            spark, LG.rank_percentiles(spark.read.parquet(ranks_dir))
+        )
+
     # Persisted Bloom shards: read the snapshot committed with the last
     # round (covers seen(last)); None on a pre-shard-format state dir or
     # while below the activation threshold — rebuilt once on activation,
@@ -281,6 +305,12 @@ def run_crawl(
 
         # ---- B7/B8: schedule this round's candidates (frontier_rows from
         # the manifest drives the window-vs-distributed rank auto-switch)
+        if rank_pct is not None:
+            from newscrawler_spark.operators import linkgraph as LG
+
+            frontier = LG.apply_rank_bonus(
+                frontier, rank_pct, cfg.rank_priority_weight
+            )
         cand = FR.schedule_round(
             frontier, cfg, budgets,
             frontier_rows=man_prev["row_counts"]["frontier"],

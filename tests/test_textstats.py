@@ -228,3 +228,40 @@ def test_luhn_check_known_cards(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Python" not in plan
+
+
+def test_gopher_rules_designed_cases(spark):
+    """Each rule is exercised by a doc engineered to fail exactly it."""
+    from newscrawler_spark.operators.textstats import gopher_rules
+
+    good = ("the quick brown fox likes to be part of and that they have "
+            "fun with plain words " * 4).strip()          # 64 words, passes
+    rows = [
+        (1, good),
+        (2, "too short to pass"),                          # rule_words
+        (3, " ".join(["supercalifragilistic"] * 60)),      # word len + stopwords
+        (4, good + " " + "# " * 20),                       # symbol ratio
+        (5, "\n".join(["- bullet line of the to be"] * 30)),  # bullets
+        (6, "\n".join([f"{w} trailing of the to be..." for w in ["a"]*30])),  # ellipsis
+        (7, good.replace("words", "1234 5678")),           # still passes
+        (8, ""),                                           # empty: fails
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+
+    assert got[1]["passes"]
+    assert not got[2]["rule_words"] and not got[2]["passes"]
+    assert not got[3]["rule_word_len"] and not got[3]["rule_stopwords"]
+    assert not got[4]["rule_symbols"] and got[4]["rule_words"]
+    assert not got[5]["rule_bullets"]
+    assert not got[6]["rule_ellipsis"]
+    assert got[7]["passes"]
+    assert not got[8]["passes"] and got[8]["n_words"] == 0
+
+
+def test_gopher_rules_plan_jvm_only(spark):
+    from newscrawler_spark.operators.textstats import gopher_rules
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
