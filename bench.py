@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     # r5b: published Gopher quality gate + per-source datasheet rollup
     "q76_gopher_rules",
     "q77_corpus_datasheet",
+    # r5b: RefinedWeb-style URL filtering gate
+    "q78_url_filter",
 ]
 
 

@@ -2387,6 +2387,66 @@ _Q77_ORACLE = f"""
 """
 
 
+def q78_url_filter(spark, sf_dir):
+    """RefinedWeb-style URL filtering (urlfilter.url_quality_gate):
+    broadcast domain blocklist + weighted keyword score + length rule,
+    annotated (not dropped) so the audit trail is checkable. Keyword
+    hits are injected deterministically (every url_hash ≡ 0 mod 7 gets
+    a '?ref=casino-poker' suffix) because the fixture corpus itself is
+    clean — the oracle replays the same injection."""
+    from newscrawler_spark.operators.urlfilter import url_quality_gate
+
+    tier = tier_for(sf_dir)
+    ensure_cache(spark, tier)
+    links = spark.read.parquet(_p(tier, "links"))
+    probe = links.select(
+        F.when(
+            F.pmod("url_hash", F.lit(7)) == 0,
+            F.concat(F.col("url_canon"), F.lit("?ref=casino-poker")),
+        ).otherwise(F.col("url_canon")).alias("url_canon"),
+        "host",
+    )
+    bl = spark.createDataFrame(
+        [("host03.example",), ("host07.example",)], "host string"
+    )
+    return url_quality_gate(probe, blocklist=bl).select(
+        "url_canon", "host", "url_score", "block_reason", "kept"
+    )
+
+
+def _url_filter_oracle() -> str:
+    from newscrawler_spark.operators.urlfilter import DEFAULT_URL_KEYWORDS
+
+    score = " + ".join(
+        f"(CASE WHEN contains(lower(u), '{k.lower()}') THEN {w} ELSE 0 END)"
+        for k, w in sorted(DEFAULT_URL_KEYWORDS.items())
+    )
+    return f"""
+        WITH probe AS (
+            SELECT CASE WHEN ((url_hash % 7) + 7) % 7 = 0
+                        THEN url_canon || '?ref=casino-poker'
+                        ELSE url_canon END AS u,
+                   host
+            FROM {_rp('links')}),
+        bl AS (SELECT * FROM (VALUES ('host03.example'),
+                                     ('host07.example')) AS t(bhost)),
+        scored AS (
+            SELECT u, host, CAST({score} AS INTEGER) AS url_score,
+                   host IN (SELECT bhost FROM bl) AS bl_hit
+            FROM probe)
+        SELECT u AS url_canon, host, url_score,
+               CASE WHEN bl_hit THEN 'blocklist'
+                    WHEN url_score >= 3 THEN 'keywords'
+                    WHEN length(u) > 2000 THEN 'length'
+               END AS block_reason,
+               (CASE WHEN bl_hit THEN 'blocklist'
+                     WHEN url_score >= 3 THEN 'keywords'
+                     WHEN length(u) > 2000 THEN 'length'
+                END) IS NULL AS kept
+        FROM scored
+    """
+
+
 def _substring_dedup_oracle(k: int = 5, min_df: int = 2) -> str:
     return f"""
         WITH base AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
@@ -2832,6 +2892,7 @@ def all_queries():
         "q75_pagerank_trade": q75_pagerank_trade,
         "q76_gopher_rules": q76_gopher_rules,
         "q77_corpus_datasheet": q77_corpus_datasheet,
+        "q78_url_filter": q78_url_filter,
     }
 
 
@@ -2871,4 +2932,5 @@ def all_oracles():
     out["q75_pagerank_trade"] = _pagerank_oracle()
     out["q76_gopher_rules"] = _Q76_ORACLE
     out["q77_corpus_datasheet"] = _Q77_ORACLE
+    out["q78_url_filter"] = _url_filter_oracle()
     return out
