@@ -96,8 +96,9 @@ BENCH_QUERIES = [
     # r5b: published Gopher quality gate + per-source datasheet rollup
     "q76_gopher_rules",
     "q77_corpus_datasheet",
-    # r5b: RefinedWeb-style URL filtering gate
+    # r5b: RefinedWeb-style URL filtering gate + fuzzy decontamination
     "q78_url_filter",
+    "q79_decontaminate_fuzzy",
 ]
 
 

@@ -2447,6 +2447,66 @@ def _url_filter_oracle() -> str:
     """
 
 
+_Q79_BENCH_SOURCES = "('src0','src1','src2')"
+
+
+def q79_decontaminate_fuzzy(spark, sf_dir):
+    """Fuzzy (MinHash-LSH) benchmark decontamination
+    (dedup.decontaminate_fuzzy) — the near-dup tier next to q59's exact
+    n-gram tier: benchmark = sources src0-src2, corpus = the rest,
+    verified Jaccard ≥ 0.2, md5 oracle hash family."""
+    from newscrawler_spark.operators.dedup import decontaminate_fuzzy
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(f"source in {_Q79_BENCH_SOURCES}")
+    corpus = docs.where(f"source not in {_Q79_BENCH_SOURCES}")
+    return decontaminate_fuzzy(corpus, bench, threshold=0.2, hasher="md5")
+
+
+def _fuzzy_decon_oracle(threshold: float = 0.2, num_perm: int = 64,
+                        bands: int = 16, n: int = 3) -> str:
+    """Two-corpus twin of _minhash_oracle: identical md5 double-hash
+    signature family and band keys on BOTH sides; candidates are
+    corpus×benchmark bucket matches only."""
+    r = num_perm // bands
+    joined = "||' '||".join(f"tk[i+{j}]" for j in range(n))
+    return f"""
+        WITH allb AS (
+            SELECT doc_id, source IN {_Q79_BENCH_SOURCES} AS is_b,
+                   {_TOKS} AS tk
+            FROM documents),
+        elig AS (
+            SELECT doc_id, is_b, CASE WHEN len(tk) >= {n}
+                THEN list_distinct(list_transform(
+                     generate_series(1, len(tk) - {n - 1}), i -> {joined}))
+                ELSE [array_to_string(tk, ' ')] END AS sh
+            FROM allb),
+        sig AS (
+            SELECT doc_id, is_b, sh,
+                   list_transform(generate_series(0, {num_perm - 1}),
+                p -> list_min(list_transform(sh, s ->
+                      ('0x' || substr(md5(s), 1, 14))::BIGINT
+                    + p * ('0x' || substr(md5(s), 17, 14))::BIGINT))) AS sg
+            FROM elig),
+        bnd AS (
+            SELECT doc_id, is_b, b,
+                   md5(array_to_string(list_slice(sg, b*{r}+1, b*{r}+{r}), ',')) AS bh
+            FROM sig, generate_series(0, {bands - 1}) t(b)),
+        cand AS (
+            SELECT DISTINCT c.doc_id AS id1, e.doc_id AS id2
+            FROM bnd c JOIN bnd e ON c.b = e.b AND c.bh = e.bh
+            WHERE NOT c.is_b AND e.is_b),
+        v AS (
+            SELECT id1, id2, len(list_intersect(e1.sh, e2.sh)) AS inter,
+                   len(e1.sh) AS n1, len(e2.sh) AS n2
+            FROM cand JOIN elig e1 ON cand.id1 = e1.doc_id
+                      JOIN elig e2 ON cand.id2 = e2.doc_id)
+        SELECT id1 AS doc_id, id2 AS bench_id,
+               round(CAST(inter AS DOUBLE)/(n1 + n2 - inter), 6) AS jaccard
+        FROM v WHERE CAST(inter AS DOUBLE)/(n1 + n2 - inter) >= {threshold}
+    """
+
+
 def _substring_dedup_oracle(k: int = 5, min_df: int = 2) -> str:
     return f"""
         WITH base AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
@@ -2893,6 +2953,7 @@ def all_queries():
         "q76_gopher_rules": q76_gopher_rules,
         "q77_corpus_datasheet": q77_corpus_datasheet,
         "q78_url_filter": q78_url_filter,
+        "q79_decontaminate_fuzzy": q79_decontaminate_fuzzy,
     }
 
 
@@ -2933,4 +2994,5 @@ def all_oracles():
     out["q76_gopher_rules"] = _Q76_ORACLE
     out["q77_corpus_datasheet"] = _Q77_ORACLE
     out["q78_url_filter"] = _url_filter_oracle()
+    out["q79_decontaminate_fuzzy"] = _fuzzy_decon_oracle()
     return out

@@ -1035,3 +1035,68 @@ def substring_span_dedup(
             F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+def decontaminate_fuzzy(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """FUZZY benchmark decontamination — the MinHash-LSH tier next to
+    :func:`decontaminate`'s exact n-gram tier (the SlimPajama/FineWeb
+    recipe: eval contamination is usually a lightly-edited copy, which
+    exact n-gram overlap can miss and near-dup similarity catches).
+
+    Candidates are corpus documents sharing ANY MinHash band bucket
+    with a benchmark document; each candidate pair is verified with
+    true n-gram Jaccard ≥ ``threshold``. Output (doc_id, bench_id,
+    jaccard) — one row per contaminated (train, eval) pairing; drop
+    with an anti-join on doc_id.
+
+    Scale shape: both sides run the same O(shingles) signature
+    projection; the bucket join is keyed (band, bh) against the
+    benchmark's O(bench·bands) rows — a benchmark is thousands of rows
+    against 10^9+ docs, so Catalyst/AQE broadcasts the bench side and
+    the corpus is never shuffled; the verify join touches only
+    candidate ids. Never corpus × benchmark.
+    """
+    bid = bench_id_col or id_col
+    btc = bench_text_col or text_col
+    db = lsh_banded(documents, num_perm, bands, n, id_col, text_col, hasher)
+    bb = lsh_banded(benchmark, num_perm, bands, n, bid, btc, hasher).select(
+        F.col("id").alias("bench_id"), "band", "bh"
+    )
+    cand = (
+        db.join(bb, ["band", "bh"])
+        .select(F.col("id").alias("id1"), F.col("bench_id").alias("id2"))
+        .distinct()
+    )
+    dsh = documents.select(
+        F.col(id_col).alias("id1"), shingles_expr(text_col, n).alias("sh1")
+    )
+    bsh = benchmark.select(
+        F.col(bid).alias("id2"), shingles_expr(btc, n).alias("sh2")
+    )
+    return (
+        cand.join(dsh, "id1")
+        .join(bsh, "id2")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh1", "sh2"))
+            / F.size(F.array_union("sh1", "sh2")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(
+            F.col("id1").alias("doc_id"),
+            F.col("id2").alias("bench_id"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )

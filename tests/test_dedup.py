@@ -540,3 +540,42 @@ def test_substring_span_dedup_plan_jvm_only(spark):
     plan = substring_span_dedup(_subspan_docs(spark))._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontaminate_fuzzy_catches_edited_copy(spark):
+    """The fuzzy tier's reason to exist: a lightly-edited benchmark
+    copy that exact n-gram containment would score low slips through
+    at high exact thresholds but is caught by near-dup similarity;
+    unrelated docs are not flagged."""
+    from newscrawler_spark.operators.dedup import decontaminate_fuzzy
+
+    bench_text = ("what is the capital of france the capital of france "
+                  "is paris which has been the capital since 987")
+    edited = bench_text.replace("987", "the tenth century").replace(
+        "which has", "and it has")
+    bench = spark.createDataFrame([(100, bench_text)],
+                                  "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, edited),
+         (2, "completely unrelated text about cooking pasta at home "
+             "with fresh tomatoes and basil leaves")],
+        "doc_id long, text string",
+    )
+    got = decontaminate_fuzzy(corpus, bench, threshold=0.5).collect()
+    assert {(r["doc_id"], r["bench_id"]) for r in got} == {(1, 100)}
+    assert all(r["jaccard"] >= 0.5 for r in got)
+
+
+def test_decontaminate_fuzzy_never_cross_corpus_quadratic(spark):
+    """Candidates come only from bucket matches: two corpus docs that
+    are near-dups of EACH OTHER but unlike any benchmark doc produce
+    zero rows (corpus-internal pairs are dedup's job, not this op's)."""
+    from newscrawler_spark.operators.dedup import decontaminate_fuzzy
+
+    twin = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(1, twin), (2, twin + " extra")], "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "unrelated benchmark question about astronomy and stars "
+               "in the night sky")], "doc_id long, text string")
+    assert decontaminate_fuzzy(corpus, bench, threshold=0.2).count() == 0
