@@ -44,6 +44,16 @@ def parse_args(argv=None):
     p.add_argument("--hasher", default="xxhash64",
                    choices=["xxhash64", "md5"],
                    help="MinHash family (md5 = SQL-reproducible tier)")
+    p.add_argument("--gopher", action="store_true",
+                   help="drop docs failing the Gopher quality rule set "
+                        "(textstats.gopher_rules) before curation")
+    p.add_argument("--url-filter", action="store_true",
+                   help="drop docs whose URL fails the keyword/length "
+                        "gate (urlfilter.url_quality_gate); needs a url "
+                        "column (pages/WARC inputs have one)")
+    p.add_argument("--url-blocklist", default=None,
+                   help="parquet with a `host` column — domains to drop "
+                        "when --url-filter is on")
     p.add_argument("--master", default=None,
                    help="override master (tests); spark-submit sets it")
     return p.parse_args(argv)
@@ -80,7 +90,9 @@ def load_documents(spark, path: str, kind: str = "auto"):
     if kind == "auto":
         kind = _detect_kind(spark, path)
     if kind == "documents":
-        return spark.read.parquet(path).select("doc_id", "text"), "documents"
+        d = spark.read.parquet(path)
+        cols = ["doc_id", "text"] + (["url"] if "url" in d.columns else [])
+        return d.select(*cols), "documents"
     if kind == "warc":
         from newscrawler_spark.sources.warc import pages_from_warc
 
@@ -124,6 +136,39 @@ def main(argv=None) -> None:
         # Arrow HTML extraction); it feeds the curation chain, the
         # annotation join, AND the summary count — materialize it once
         docs = docs.persist()
+        n_loaded = docs.count()
+
+        dropped = {}
+        if args.url_filter:
+            from pyspark.sql import functions as F
+
+            from newscrawler_spark.operators.linkgraph import _host_of
+            from newscrawler_spark.operators.urlfilter import url_quality_gate
+
+            if "url" not in docs.columns:
+                raise SystemExit(
+                    "--url-filter needs a url column; documents-kind "
+                    "inputs have none (use a pages/WARC input)")
+            bl = (spark.read.parquet(args.url_blocklist)
+                  if args.url_blocklist else None)
+            gated = url_quality_gate(
+                docs.withColumn("host", _host_of(F.col("url"))),
+                blocklist=bl, url_col="url",
+            )
+            docs2 = gated.where("kept").drop(
+                "host", "url_score", "block_reason", "kept").persist()
+            dropped["url_filter"] = n_loaded - docs2.count()
+            docs.unpersist()
+            docs = docs2
+        if args.gopher:
+            from newscrawler_spark.operators.textstats import gopher_rules
+
+            ok = gopher_rules(docs).where("passes").select("doc_id")
+            docs2 = docs.join(ok, "doc_id").persist()
+            dropped["gopher"] = (n_loaded - sum(dropped.values())
+                                 - docs2.count())
+            docs.unpersist()
+            docs = docs2
         surviving = curate_corpus(
             docs,
             quality_min=args.quality_min,
@@ -135,7 +180,8 @@ def main(argv=None) -> None:
             annotated, args.out, args.n_shards, salt=args.salt)
         print(json.dumps({
             "input_kind": kind,
-            "input_docs": docs.count(),
+            "input_docs": n_loaded,
+            "pre_gates_dropped": dropped,
             "surviving_docs": man["total_docs"],
             "n_shards": man["n_shards"],
             "salt": man["salt"],

@@ -39,6 +39,7 @@ import json
 import os
 import tempfile
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -151,11 +152,18 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
-    back = documents.sparkSession.read.parquet(path).select(
-        F.col("shard").cast("int").alias("shard"), "shuffle_hash",
-        F.col(id_col),
-    )
-    stats = _pinned_summary(back, id_col).collect()
+    try:
+        back = documents.sparkSession.read.parquet(path).select(
+            F.col("shard").cast("int").alias("shard"), "shuffle_hash",
+            F.col(id_col),
+        )
+        stats = _pinned_summary(back, id_col).collect()
+    except AnalysisException:
+        # ZERO surviving docs: partitionBy writes only _SUCCESS (no part
+        # files), so the read-back cannot infer a schema. An aggressively
+        # filtered corpus is a legal outcome — commit an empty manifest
+        # (total_docs 0) instead of crashing the job after the write.
+        stats = []
     man = {
         "n_shards": n_shards,
         "salt": salt,

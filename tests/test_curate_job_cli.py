@@ -122,3 +122,42 @@ def test_load_documents_auto_detect_pages(spark, tmp_path):
         q = str(tmp_path / "bad.parquet")
         spark.range(3).write.parquet(q)
         load_documents(spark, q, "auto")
+
+
+def test_curate_job_pre_gates(spark, tmp_path, capsys):
+    """--gopher and --url-filter drop the designed rows BEFORE the
+    curation chain, and the summary reports per-gate drop counts."""
+    import pyspark.sql.functions as F
+
+    good = ("the quick brown fox likes to be part of and that they have "
+            "fun with plain words " * 4).strip()
+    rows = [(i, good + f" uniq{i}tail", f"http://ok{i}.example/a")
+            for i in range(6)]
+    rows.append((50, "tiny", "http://ok50.example/a"))        # gopher: too short
+    rows.append((51, good + " casino poker bonus",            # url keywords
+                 "http://spam.example/free-casino-poker"))
+    rows.append((52, good + " blocked host tail",             # blocklist
+                 "http://blocked.example/x"))
+    inp = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, url string"
+    ).write.mode("overwrite").parquet(inp)
+    blp = str(tmp_path / "bl.parquet")
+    spark.createDataFrame([("blocked.example",)], "host string").write.mode(
+        "overwrite").parquet(blp)
+
+    out = str(tmp_path / "shards")
+    main(["--input", inp, "--input-kind", "documents", "--out", out,
+          "--n-shards", "4", "--gopher", "--url-filter",
+          "--url-blocklist", blp, "--quality-min", "0.0",
+          # the six survivors share most of their text by construction;
+          # a >1 threshold disables near-dup drops so the assert isolates
+          # the two PRE-gates
+          "--threshold", "1.1"])
+    line = [l for l in capsys.readouterr().out.splitlines()
+            if l.startswith("{")][-1]
+    summary = json.loads(line)
+    assert summary["pre_gates_dropped"]["url_filter"] == 2   # 51 + 52
+    assert summary["pre_gates_dropped"]["gopher"] == 1       # 50
+    kept = read_training_shards(spark, out).select("doc_id").collect()
+    assert {r["doc_id"] for r in kept} == set(range(6))

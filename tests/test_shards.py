@@ -214,3 +214,14 @@ def test_write_packed_streams_manifest(spark, docs, tmp_path):
     # manifest totals add up
     assert man["total_tokens"] == sum(
         v["n_tokens"] for v in man["shards"].values())
+
+
+def test_write_training_shards_empty_corpus(spark, tmp_path):
+    """Zero surviving docs is a legal outcome of aggressive filtering:
+    the writer must commit an EMPTY manifest (total_docs 0), not crash
+    on the schema-less read-back of a part-file-free directory."""
+    from newscrawler_spark.operators.shards import write_training_shards
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    man = write_training_shards(empty, str(tmp_path / "s"), 8)
+    assert man["total_docs"] == 0 and man["shards"] == {}
