@@ -1083,6 +1083,13 @@ def decontaminate_fuzzy(
     against 10^9+ docs, so Catalyst/AQE broadcasts the bench side and
     the corpus is never shuffled; the verify join touches only
     candidate ids. Never corpus × benchmark.
+
+    Pair fan-out caveat (measured in BENCH/stress_ops_r5.json): output
+    is one row per (doc, bench) pairing, so m corpus near-dups of m'
+    duplicated benchmark rows emit m·m' pairs. EXACT-DEDUP THE
+    BENCHMARK FIRST (exact_dedup — benchmarks are small, this is
+    cheap) and, when only the drop set matters, reduce with
+    ``.select("doc_id").distinct()`` before the anti-join.
     """
     bid = bench_id_col or id_col
     btc = bench_text_col or text_col
