@@ -579,3 +579,16 @@ def test_decontaminate_fuzzy_never_cross_corpus_quadratic(spark):
         [(100, "unrelated benchmark question about astronomy and stars "
                "in the night sky")], "doc_id long, text string")
     assert decontaminate_fuzzy(corpus, bench, threshold=0.2).count() == 0
+
+
+def test_substring_span_dedup_monotone_in_min_df(spark, docs_df):
+    """Raising min_df can only shrink the removed set: every position
+    duplicated across >=3 docs is duplicated across >=2."""
+    from newscrawler_spark.operators.dedup import substring_span_dedup
+
+    r2 = {r["doc_id"]: r["n_removed"]
+          for r in substring_span_dedup(docs_df, k=5, min_df=2).collect()}
+    r3 = {r["doc_id"]: r["n_removed"]
+          for r in substring_span_dedup(docs_df, k=5, min_df=3).collect()}
+    assert all(r3[d] <= r2[d] for d in r2)
+    assert sum(r3.values()) <= sum(r2.values())

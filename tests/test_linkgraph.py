@@ -166,3 +166,40 @@ def test_crawl_with_rank_priority(spark, smoke_pages_pd, smoke_seeds_pd, tmp_pat
     assert {t[2] for t in plain} == {t[2] for t in ranked}  # same url set
     # the bonus actually moved priorities for ranked hosts
     assert max(t[3] for t in ranked) > max(t[3] for t in plain)
+
+
+def test_pagerank_mass_conserved_without_dangling(spark):
+    """On a graph where EVERY node has an out-edge, no mass leaks: the
+    total rank stays scale minus only integer-floor dust (bounded by
+    nodes per division step x iterations)."""
+    import random
+
+    rng = random.Random(11)
+    n = 30
+    edges = {(f"n{i}", f"n{(i + 1) % n}") for i in range(n)}  # ring: all out
+    edges |= {(f"n{rng.randrange(n)}", f"n{rng.randrange(n)}")
+              for _ in range(60)}
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(list(edges), "src string, dst string")
+    got = pagerank_fixed_point(df, iterations=4).collect()
+    total = sum(r["rank_fp"] for r in got)
+    # per iteration each division drops < 1 unit per (node, edge) term;
+    # 4 iterations x (nodes + edges) is a generous dust bound
+    dust = 4 * (len(got) + len(edges)) + len(got)
+    assert SCALE - dust <= total <= SCALE
+
+
+def test_pagerank_rank_follows_in_degree_on_uniform_out(spark):
+    """With every node having the same out-degree, more in-edges can
+    never mean lower rank after one iteration of a 2-level graph."""
+    edges = []
+    # sources s0..s5 each point at exactly one of two sinks... keep all
+    # out-degrees equal: s_i -> hub for i<4 ; s_i -> side for i>=4
+    for i in range(4):
+        edges.append((f"s{i}", "hub"))
+    for i in range(4, 6):
+        edges.append((f"s{i}", "side"))
+    got = {r["node"]: r["rank_fp"] for r in pagerank_fixed_point(
+        spark.createDataFrame(edges, "src string, dst string"),
+        iterations=3).collect()}
+    assert got["hub"] > got["side"]
